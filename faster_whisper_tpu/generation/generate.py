@@ -1,0 +1,616 @@
+"""On-device Whisper generation: beam search and temperature sampling.
+
+TPU-native replacement for ``ctranslate2.models.Whisper.generate``
+(consumed by the reference at faster_whisper/transcribe.py:1446-1459 and
+:222-236).  The whole decode loop — KV-cached decoder steps, the logits-rule
+chain, beam bookkeeping, finished-hypothesis pools — runs inside a single
+``lax.while_loop`` per call; the host only pads prompts and unpacks results.
+
+Score semantics match what the reference's policy layer expects
+(transcribe.py:1463-1466): ``score = cum_logprob / (gen_len ** length_penalty)``
+where ``cum_logprob`` sums T=1 log-softmax probabilities of the sampled
+tokens *including* the closing <|endoftext|> and ``gen_len`` *excludes* it,
+so ``avg_logprob = score * gen_len**lp / (gen_len + 1)`` reproduces
+openai/CT2 numbers.
+
+Layout decisions (TPU-first):
+  * Beams live on a (B, K) grid.  Cross-attention K/V over the 1500 encoder
+    states is computed once per window and *shared* across beams (queries
+    broadcast against it), so beam search does not tile the big cross cache.
+  * The per-beam self-attention cache is (L, B, K, ctx, H, D); beam reorder
+    is a gather along K.
+  * Prompts are right-padded to a bucketed length; positions/masks carry the
+    true lengths.  One compiled program per (B, K, prompt-bucket, flags).
+"""
+
+import functools
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_whisper_tpu.generation.processors import (
+    NEG_INF,
+    ProcessorOptions,
+    TokenMeta,
+    apply_logits_rules,
+)
+from faster_whisper_tpu.models.config import WhisperConfig
+from faster_whisper_tpu.models.model import (
+    KVCache,
+    _dense,
+    _merge_heads,
+    _mlp,
+    _split_heads,
+    decoder_prefill,
+    init_cache,
+    layer_norm,
+)
+
+
+# ---------------------------------------------------------------------------
+# Static options
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GenOptions:
+    beam_size: int = 5  # active beams (or parallel samples when sampling)
+    num_finished: int = 5  # finished-pool slots: round(beam_size * patience)
+    length_penalty: float = 1.0
+    sampling: bool = False
+    sampling_temperature: float = 1.0
+    sampling_topk: int = 0  # 0 = unrestricted
+
+
+class WhisperGenerationResult:
+    """Mirror of ctranslate2's WhisperGenerationResult surface
+    (reference reads .sequences_ids, .scores, .no_speech_prob,
+    transcribe.py:1461-1466, :241-249)."""
+
+    __slots__ = ("sequences_ids", "scores", "no_speech_prob")
+
+    def __init__(self, sequences_ids, scores, no_speech_prob):
+        self.sequences_ids = sequences_ids
+        self.scores = scores
+        self.no_speech_prob = no_speech_prob
+
+    def __repr__(self):
+        return (
+            f"WhisperGenerationResult(sequences={len(self.sequences_ids)}, "
+            f"scores={self.scores}, no_speech_prob={self.no_speech_prob})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Beam-grid decoder step (queries on a (B, K) grid, shared cross K/V)
+# ---------------------------------------------------------------------------
+
+
+def _gen_decoder_step(
+    params,
+    config: WhisperConfig,
+    token: jax.Array,  # (B, K) token ids
+    pos: jax.Array,  # (B, K) absolute positions
+    self_k: jax.Array,  # (L, B, K, ctx, H, D)
+    self_v: jax.Array,
+    cross_k: jax.Array,  # (L, B, T, H, D) shared across beams
+    cross_v: jax.Array,
+):
+    dec = params["decoder"]
+    b, k = token.shape
+    n_head = config.n_text_head
+    dh = config.n_text_state // n_head
+    ctx = config.n_text_ctx
+    dtype = dec["token_embed"].dtype
+
+    x = dec["token_embed"][token] + dec["pos_embed"][pos]
+    x = x.astype(dtype)  # (B, K, d)
+
+    b_idx = jnp.arange(b)[:, None]
+    k_idx = jnp.arange(k)[None, :]
+    allow = jnp.arange(ctx)[None, None, :] <= pos[:, :, None]  # (B, K, ctx)
+
+    def qkv(p, h):
+        q = _dense(h, p["wq"], p["bq"]).reshape(b, k, n_head, dh)
+        kk = _dense(h, p["wk"]).reshape(b, k, n_head, dh)
+        vv = _dense(h, p["wv"], p["bv"]).reshape(b, k, n_head, dh)
+        return q, kk, vv
+
+    scale = dh ** -0.5
+
+    def body(x, scanned):
+        p, sk, sv, ck, cv = scanned
+
+        # self attention over the per-beam cache
+        h = layer_norm(x, p["ln1_g"], p["ln1_b"])
+        q, k_new, v_new = qkv(p["self_attn"], h)
+        sk = sk.at[b_idx, k_idx, pos].set(k_new.astype(sk.dtype))
+        sv = sv.at[b_idx, k_idx, pos].set(v_new.astype(sv.dtype))
+        scores = (
+            jnp.einsum("bkhd,bkchd->bkhc", q, sk, preferred_element_type=jnp.float32)
+            * scale
+        )
+        scores = jnp.where(allow[:, :, None, :], scores, NEG_INF)
+        w = jax.nn.softmax(scores, axis=-1).astype(sv.dtype)
+        attn = jnp.einsum("bkhc,bkchd->bkhd", w, sv).reshape(b, k, -1)
+        x = x + _dense(attn, p["self_attn"]["wo"], p["self_attn"]["bo"])
+
+        # cross attention: beams are independent queries over shared K/V
+        h = layer_norm(x, p["ln2_g"], p["ln2_b"])
+        cp = p["cross_attn"]
+        qx = _dense(h, cp["wq"], cp["bq"]).reshape(b, k, n_head, dh)
+        scores = (
+            jnp.einsum("bkhd,bthd->bkht", qx, ck, preferred_element_type=jnp.float32)
+            * scale
+        )
+        w = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
+        attn = jnp.einsum("bkht,bthd->bkhd", w, cv).reshape(b, k, -1)
+        x = x + _dense(attn, cp["wo"], cp["bo"])
+
+        h = layer_norm(x, p["ln3_g"], p["ln3_b"])
+        x = x + _mlp(p["mlp"], h)
+        return x, (sk, sv)
+
+    x, (new_sk, new_sv) = jax.lax.scan(
+        body, x, (dec["layers"], self_k, self_v, cross_k, cross_v)
+    )
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    logits = jnp.dot(
+        x, dec["token_embed"].T, preferred_element_type=jnp.float32
+    )  # (B, K, V)
+    return logits, new_sk, new_sv
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "gen_opts", "proc_opts", "meta")
+)
+def beam_search(
+    params,
+    config: WhisperConfig,
+    gen_opts: GenOptions,
+    proc_opts: ProcessorOptions,
+    meta: TokenMeta,
+    xa: jax.Array,  # (B, T, d) encoder states
+    prompt: jax.Array,  # (B, P) right-padded prompt
+    prompt_len: jax.Array,  # (B,)
+    sot_pos: jax.Array,  # (B,) index of <|startoftranscript|> in the prompt
+    max_length: jax.Array,  # scalar: total length cap (prompt + generated)
+):
+    """Returns (tokens (B,K,ctx), seq_len (B,K) lengths incl. prompt,
+    scores (B,K) normalized, no_speech_prob (B,))."""
+    K = gen_opts.beam_size
+    F = gen_opts.num_finished
+    lp_pow = gen_opts.length_penalty
+    b, p = prompt.shape
+    ctx = config.n_text_ctx
+    V = meta.vocab_size
+
+    gather_pos = jnp.stack([prompt_len - 1, sot_pos], axis=1)
+    first_logits, cache0 = decoder_prefill(
+        params, config, prompt, prompt_len, xa, gather_pos
+    )
+    no_speech_prob = jax.nn.softmax(first_logits[:, 1], axis=-1)[:, meta.no_speech]
+
+    # Expand to the beam grid.
+    tokens = jnp.zeros((b, K, ctx), jnp.int32)
+    tokens = tokens.at[:, :, :p].set(prompt[:, None, :])
+    lens = jnp.broadcast_to(prompt_len[:, None], (b, K))
+    sum_lp = jnp.where(
+        jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+    ) * jnp.ones((b, 1), jnp.float32)
+
+    self_k = jnp.broadcast_to(
+        cache0.self_k[:, :, None], (cache0.self_k.shape[0], b, K) + cache0.self_k.shape[2:]
+    )
+    self_v = jnp.broadcast_to(
+        cache0.self_v[:, :, None], (cache0.self_v.shape[0], b, K) + cache0.self_v.shape[2:]
+    )
+    cross_k, cross_v = cache0.cross_k, cache0.cross_v
+
+    cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
+
+    fin_tokens = jnp.zeros((b, F, ctx), jnp.int32)
+    fin_lens = jnp.zeros((b, F), jnp.int32)
+    fin_scores = jnp.full((b, F), NEG_INF, jnp.float32)
+
+    b_idx = jnp.arange(b)[:, None]
+
+    def cond(state):
+        (tokens, lens, sum_lp, self_k, self_v, cur_logits,
+         fin_tokens, fin_lens, fin_scores, done) = state
+        return jnp.any(~done)
+
+    def body(state):
+        (tokens, lens, sum_lp, self_k, self_v, cur_logits,
+         fin_tokens, fin_lens, fin_scores, done) = state
+
+        flat_begin = jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(b * K)
+        masked = apply_logits_rules(
+            cur_logits.reshape(b * K, V),
+            tokens.reshape(b * K, ctx),
+            lens.reshape(b * K),
+            flat_begin,
+            meta,
+            proc_opts,
+        ).reshape(b, K, V)
+        logprobs = jax.nn.log_softmax(masked, axis=-1)
+
+        total = sum_lp[:, :, None] + logprobs  # (B, K, V)
+        cand_val, cand_idx = jax.lax.top_k(total.reshape(b, K * V), 2 * K)
+        cand_beam = cand_idx // V  # (B, 2K)
+        cand_tok = cand_idx % V
+        is_eot = cand_tok == meta.eot
+
+        prompt_len_b = jnp.broadcast_to(prompt_len[:, None], (b, 2 * K))
+        gen_len = jnp.take_along_axis(lens, cand_beam, axis=1) - prompt_len_b
+
+        # ---- finished pool: merge eot candidates ----
+        safe_len = jnp.maximum(gen_len, 1).astype(jnp.float32)
+        norm_score = cand_val / (safe_len ** lp_pow)
+        eot_scores = jnp.where(is_eot & ~done[:, None], norm_score, NEG_INF)
+
+        all_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)  # (B, F+2K)
+        cand_buf = jnp.take_along_axis(
+            tokens, cand_beam[:, :, None], axis=1
+        )  # (B, 2K, ctx)
+        all_bufs = jnp.concatenate([fin_tokens, cand_buf], axis=1)
+        all_lens = jnp.concatenate(
+            [fin_lens, jnp.take_along_axis(lens, cand_beam, axis=1)], axis=1
+        )
+        top_scores, top_idx = jax.lax.top_k(all_scores, F)
+        fin_scores = top_scores
+        fin_tokens = jnp.take_along_axis(all_bufs, top_idx[:, :, None], axis=1)
+        fin_lens = jnp.take_along_axis(all_lens, top_idx, axis=1)
+
+        # ---- refill active beams with the best K non-eot candidates ----
+        keep = ~is_eot
+        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # 1-based among kept
+        slot = jnp.where(keep & (rank <= K), rank - 1, K)  # K = drop
+        # scatter candidates into K slots (order-preserving => score-sorted)
+        new_beam = jnp.zeros((b, K + 1), jnp.int32)
+        new_tok = jnp.zeros((b, K + 1), jnp.int32)
+        new_cum = jnp.full((b, K + 1), NEG_INF, jnp.float32)
+        new_beam = new_beam.at[b_idx, slot].set(cand_beam, mode="drop")
+        new_tok = new_tok.at[b_idx, slot].set(cand_tok, mode="drop")
+        new_cum = new_cum.at[b_idx, slot].set(cand_val, mode="drop")
+        new_beam, new_tok, new_cum = new_beam[:, :K], new_tok[:, :K], new_cum[:, :K]
+
+        # ---- reorder state by parent beam, append the new token ----
+        parent = new_beam  # (B, K)
+        tokens_new = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
+        lens_new = jnp.take_along_axis(lens, parent, axis=1)
+        write_pos = jnp.clip(lens_new, 0, ctx - 1)
+        tokens_new = tokens_new.at[
+            b_idx, jnp.arange(K)[None, :], write_pos
+        ].set(new_tok)
+        lens_new = jnp.minimum(lens_new + 1, ctx)
+
+        self_k_new = jnp.take_along_axis(
+            self_k, parent[None, :, :, None, None, None], axis=2
+        )
+        self_v_new = jnp.take_along_axis(
+            self_v, parent[None, :, :, None, None, None], axis=2
+        )
+
+        # ---- stopping ----
+        n_finished = jnp.sum(fin_scores > NEG_INF / 2, axis=1)
+        hit_cap = jnp.max(lens_new, axis=1) >= jnp.minimum(max_length, ctx)
+        done_new = done | (n_finished >= F) | hit_cap
+
+        # frozen rows keep their previous state
+        tokens_new = jnp.where(done[:, None, None], tokens, tokens_new)
+        lens_new = jnp.where(done[:, None], lens, lens_new)
+        new_cum = jnp.where(done[:, None], sum_lp, new_cum)
+        self_k_new = jnp.where(done[None, :, None, None, None, None], self_k, self_k_new)
+        self_v_new = jnp.where(done[None, :, None, None, None, None], self_v, self_v_new)
+
+        # ---- next decoder step (frozen rows run a harmless dummy token) ----
+        step_pos = jnp.clip(lens_new - 1, 0, ctx - 1)
+        next_logits, self_k_new, self_v_new = _gen_decoder_step(
+            params, config, jnp.where(done[:, None], 0, new_tok), step_pos,
+            self_k_new, self_v_new, cross_k, cross_v,
+        )
+
+        return (
+            tokens_new, lens_new, new_cum, self_k_new, self_v_new, next_logits,
+            fin_tokens, fin_lens, fin_scores, done_new,
+        )
+
+    state = (
+        tokens, lens, sum_lp, self_k, self_v, cur_logits,
+        fin_tokens, fin_lens, fin_scores, jnp.zeros((b,), bool),
+    )
+    (tokens, lens, sum_lp, self_k, self_v, cur_logits,
+     fin_tokens, fin_lens, fin_scores, done) = jax.lax.while_loop(
+        cond, body, state
+    )
+
+    # The best active beam doubles as a fallback for rows whose finished
+    # pool stayed empty (no eot before the length cap); selected host-side.
+    gen_len = jnp.maximum(lens[:, 0] - prompt_len, 1).astype(jnp.float32)
+    active_score = sum_lp[:, 0] / (gen_len ** lp_pow)
+
+    return (
+        fin_tokens,
+        fin_lens,
+        fin_scores,
+        tokens[:, 0],
+        lens[:, 0],
+        active_score,
+        no_speech_prob,
+        prompt_len,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling (beam_size=1, num_hypotheses parallel samples)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "gen_opts", "proc_opts", "meta")
+)
+def sample(
+    params,
+    config: WhisperConfig,
+    gen_opts: GenOptions,
+    proc_opts: ProcessorOptions,
+    meta: TokenMeta,
+    xa: jax.Array,
+    prompt: jax.Array,
+    prompt_len: jax.Array,
+    sot_pos: jax.Array,
+    max_length: jax.Array,
+    rng_key: jax.Array,
+):
+    """K independent temperature samples per batch row.
+
+    Returns (tokens (B,K,ctx), lens (B,K), cum_logprob (B,K),
+    eot_seen (B,K), no_speech_prob (B,)).
+    """
+    K = gen_opts.beam_size
+    b, p = prompt.shape
+    ctx = config.n_text_ctx
+    V = meta.vocab_size
+    temp = gen_opts.sampling_temperature
+
+    gather_pos = jnp.stack([prompt_len - 1, sot_pos], axis=1)
+    first_logits, cache0 = decoder_prefill(
+        params, config, prompt, prompt_len, xa, gather_pos
+    )
+    no_speech_prob = jax.nn.softmax(first_logits[:, 1], axis=-1)[:, meta.no_speech]
+
+    tokens = jnp.zeros((b, K, ctx), jnp.int32)
+    tokens = tokens.at[:, :, :p].set(prompt[:, None, :])
+    lens = jnp.broadcast_to(prompt_len[:, None], (b, K))
+    sum_lp = jnp.zeros((b, K), jnp.float32)
+    finished = jnp.zeros((b, K), bool)
+
+    self_k = jnp.broadcast_to(
+        cache0.self_k[:, :, None],
+        (cache0.self_k.shape[0], b, K) + cache0.self_k.shape[2:],
+    )
+    self_v = jnp.broadcast_to(
+        cache0.self_v[:, :, None],
+        (cache0.self_v.shape[0], b, K) + cache0.self_v.shape[2:],
+    )
+    cross_k, cross_v = cache0.cross_k, cache0.cross_v
+    cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
+
+    b_idx = jnp.arange(b)[:, None]
+    k_idx = jnp.arange(K)[None, :]
+
+    def cond(state):
+        tokens, lens, sum_lp, finished, self_k, self_v, cur_logits, key = state
+        return jnp.any(~finished & (lens < jnp.minimum(max_length, ctx)))
+
+    def body(state):
+        tokens, lens, sum_lp, finished, self_k, self_v, cur_logits, key = state
+
+        flat_begin = jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(-1)
+        masked = apply_logits_rules(
+            cur_logits.reshape(b * K, V),
+            tokens.reshape(b * K, ctx),
+            lens.reshape(b * K),
+            flat_begin,
+            meta,
+            proc_opts,
+        ).reshape(b, K, V)
+
+        # Scores use the T=1 distribution (openai semantics); sampling uses
+        # logits / temperature (sampling_topk optional).
+        logprobs = jax.nn.log_softmax(masked, axis=-1)
+        sample_logits = masked / temp
+        if gen_opts.sampling_topk > 0:
+            kth = jax.lax.top_k(sample_logits, gen_opts.sampling_topk)[0][..., -1:]
+            sample_logits = jnp.where(sample_logits < kth, NEG_INF, sample_logits)
+
+        key, sub = jax.random.split(key)
+        next_tok = jax.random.categorical(sub, sample_logits, axis=-1)  # (B, K)
+        next_tok = jnp.where(finished, meta.eot, next_tok)
+
+        tok_lp = jnp.take_along_axis(logprobs, next_tok[:, :, None], axis=2)[:, :, 0]
+        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+
+        write_pos = jnp.clip(lens, 0, ctx - 1)  # position of the new token
+        is_eot = next_tok == meta.eot
+        # eot is recorded in the buffer but excluded from the length
+        tokens = tokens.at[b_idx, k_idx, write_pos].set(
+            jnp.where(finished, tokens[b_idx, k_idx, write_pos], next_tok)
+        )
+        lens = jnp.where(finished | is_eot, lens, lens + 1)
+        finished_new = finished | is_eot
+
+        next_logits, self_k, self_v = _gen_decoder_step(
+            params,
+            config,
+            jnp.where(finished_new, 0, next_tok),
+            write_pos,
+            self_k,
+            self_v,
+            cross_k,
+            cross_v,
+        )
+
+        return tokens, lens, sum_lp, finished_new, self_k, self_v, next_logits, key
+
+    state = (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits, rng_key)
+    tokens, lens, sum_lp, finished, _, _, _, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+
+    return tokens, lens, sum_lp, finished, no_speech_prob
+
+
+# ---------------------------------------------------------------------------
+# Host-facing API (ctranslate2.models.Whisper.generate equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _bucket(n: int, step: int = 32, cap: int = 448) -> int:
+    return min(cap, max(step, -(-n // step) * step))
+
+
+def generate(
+    params,
+    config: WhisperConfig,
+    meta: TokenMeta,
+    encoder_output: jax.Array,  # (B, T, d)
+    prompts: Sequence[Sequence[int]],
+    *,
+    sot_id: int,
+    beam_size: int = 5,
+    patience: float = 1.0,
+    length_penalty: float = 1.0,
+    repetition_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
+    max_length: int = 448,
+    return_scores: bool = False,
+    return_no_speech_prob: bool = False,
+    suppress_blank: bool = True,
+    suppress_tokens: Optional[Sequence[int]] = (),
+    max_initial_timestamp_index: int = 50,
+    sampling_temperature: float = 1.0,
+    sampling_topk: int = 1,
+    num_hypotheses: int = 1,
+    with_timestamps: bool = True,
+    rng_seed: int = 0,
+) -> List[WhisperGenerationResult]:
+    """Batched generation mirroring the CT2 call signature the reference
+    uses (transcribe.py:222-236, :1446-1459)."""
+    b = len(prompts)
+    assert encoder_output.shape[0] == b
+
+    prompt_lens = np.array([len(pr) for pr in prompts], dtype=np.int32)
+    P = _bucket(int(prompt_lens.max()))
+    prompt_arr = np.zeros((b, P), dtype=np.int32)
+    sot_pos = np.zeros((b,), dtype=np.int32)
+    for i, pr in enumerate(prompts):
+        prompt_arr[i, : len(pr)] = pr
+        sot_pos[i] = pr.index(sot_id) if sot_id in pr else len(pr) - 1
+
+    proc_opts = ProcessorOptions(
+        suppress_blank=suppress_blank,
+        suppress_tokens=tuple(suppress_tokens or ()),
+        with_timestamps=with_timestamps,
+        max_initial_timestamp_index=max_initial_timestamp_index,
+        repetition_penalty=repetition_penalty,
+        no_repeat_ngram_size=no_repeat_ngram_size,
+    )
+
+    is_sampling = sampling_temperature > 0 and beam_size == 1
+    results: List[WhisperGenerationResult] = []
+
+    if is_sampling:
+        gen_opts = GenOptions(
+            beam_size=num_hypotheses,
+            num_finished=num_hypotheses,
+            length_penalty=length_penalty,
+            sampling=True,
+            sampling_temperature=sampling_temperature,
+            sampling_topk=sampling_topk,
+        )
+        tokens, lens, sum_lp, finished, nsp = sample(
+            params,
+            config,
+            gen_opts,
+            proc_opts,
+            meta,
+            encoder_output,
+            jnp.asarray(prompt_arr),
+            jnp.asarray(prompt_lens),
+            jnp.asarray(sot_pos),
+            jnp.asarray(max_length, dtype=jnp.int32),
+            jax.random.PRNGKey(rng_seed),
+        )
+        tokens, lens, sum_lp, finished, nsp = jax.device_get(
+            (tokens, lens, sum_lp, finished, nsp)
+        )
+        for i in range(b):
+            gen_lens = lens[i] - prompt_lens[i]
+            scores = sum_lp[i] / np.maximum(gen_lens, 1) ** length_penalty
+            order = np.argsort(-scores)
+            seqs = [
+                tokens[i, j, prompt_lens[i] : lens[i, j]].tolist() for j in order
+            ]
+            results.append(
+                WhisperGenerationResult(
+                    sequences_ids=seqs,
+                    scores=[float(scores[j]) for j in order],
+                    no_speech_prob=float(nsp[i]),
+                )
+            )
+    else:
+        gen_opts = GenOptions(
+            beam_size=beam_size,
+            num_finished=max(1, round(beam_size * patience)),
+            length_penalty=length_penalty,
+            sampling=False,
+        )
+        (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score,
+         nsp, _pl) = beam_search(
+            params,
+            config,
+            gen_opts,
+            proc_opts,
+            meta,
+            encoder_output,
+            jnp.asarray(prompt_arr),
+            jnp.asarray(prompt_lens),
+            jnp.asarray(sot_pos),
+            jnp.asarray(max_length, dtype=jnp.int32),
+        )
+        (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score,
+         nsp) = jax.device_get(
+            (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score, nsp)
+        )
+        for i in range(b):
+            have = fin_scores[i] > -1e29
+            if have.any():
+                seqs = [
+                    fin_tokens[i, j, prompt_lens[i] : fin_lens[i, j]].tolist()
+                    for j in range(fin_tokens.shape[1])
+                    if have[j]
+                ]
+                scores = [float(s) for s in fin_scores[i][have]]
+            else:
+                seqs = [act_tokens[i, prompt_lens[i] : act_lens[i]].tolist()]
+                scores = [float(act_score[i])]
+            results.append(
+                WhisperGenerationResult(
+                    sequences_ids=seqs,
+                    scores=scores,
+                    no_speech_prob=float(nsp[i]),
+                )
+            )
+
+    return results

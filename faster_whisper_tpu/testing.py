@@ -1,0 +1,54 @@
+"""Hermetic test/bench helpers.
+
+This environment has no network egress, so the real Whisper vocabularies
+(tokenizer.json from the HF Hub) may be unavailable.  ``build_synthetic_tokenizer``
+constructs a real ``tokenizers.Tokenizer`` with the exact Whisper
+special-token *layout* (eot, sot, 100 language tokens, translate/transcribe,
+sot_lm, sot_prev, no_speech, no_timestamps, then 1501 timestamp tokens) over
+a byte-level base vocabulary, so every decode-policy code path — suppress
+sets, timestamp rules, prompts, word splitting — can be exercised without
+downloads.  Token *ids* differ from the production vocabulary; behavior
+does not.
+"""
+
+from typing import Optional
+
+from faster_whisper_tpu.tokenizer import _LANGUAGE_CODES
+
+
+def build_synthetic_tokenizer(n_timestamps: int = 1501):
+    """Build a byte-level tokenizer with the Whisper special-token layout.
+
+    Base vocabulary: the 256 GPT-2 byte symbols (so any text round-trips),
+    followed by the Whisper specials in canonical order.
+    """
+    from tokenizers import AddedToken, Tokenizer, decoders, pre_tokenizers
+    from tokenizers.models import BPE
+
+    byte_alphabet = pre_tokenizers.ByteLevel.alphabet()
+    vocab = {ch: i for i, ch in enumerate(sorted(byte_alphabet))}
+
+    tok = Tokenizer(BPE(vocab, merges=[]))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+
+    specials = ["<|endoftext|>", "<|startoftranscript|>"]
+    specials += ["<|%s|>" % code for code in _LANGUAGE_CODES]
+    specials += [
+        "<|translate|>",
+        "<|transcribe|>",
+        "<|startoflm|>",
+        "<|startofprev|>",
+        "<|nospeech|>",
+        "<|notimestamps|>",
+    ]
+    specials += ["<|%.2f|>" % (0.02 * i) for i in range(n_timestamps)]
+
+    tok.add_special_tokens(
+        [AddedToken(s, special=True, normalized=False) for s in specials]
+    )
+    return tok
+
+
+def synthetic_vocab_size(n_timestamps: int = 1501) -> int:
+    return 256 + 2 + len(_LANGUAGE_CODES) + 6 + n_timestamps

@@ -1,0 +1,281 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from faster_whisper_tpu.generation.processors import (  # noqa: E402
+    NEG_INF,
+    ProcessorOptions,
+    TokenMeta,
+    apply_logits_rules,
+)
+
+# Small synthetic vocabulary:
+#   0..9 text, 10 eot, 11 notimestamps, 12.. timestamps
+META = TokenMeta(
+    eot=10,
+    timestamp_begin=12,
+    no_timestamps=11,
+    no_speech=9,
+    blank=(3,),
+    vocab_size=32,
+)
+
+
+def run_rules(logits, sampled, opts, prompt=(0,)):
+    """Helper: build buffers from a prompt + sampled suffix and apply."""
+    ctx = 64
+    tokens = np.zeros((1, ctx), dtype=np.int32)
+    seq = list(prompt) + list(sampled)
+    tokens[0, : len(seq)] = seq
+    out = apply_logits_rules(
+        jnp.asarray(logits, dtype=jnp.float32)[None, :],
+        jnp.asarray(tokens),
+        jnp.asarray([len(seq)], dtype=jnp.int32),
+        jnp.asarray([len(prompt)], dtype=jnp.int32),
+        META,
+        opts,
+    )
+    return np.asarray(out)[0]
+
+
+def flat_logits():
+    return np.zeros(META.vocab_size, dtype=np.float32)
+
+
+def banned(out):
+    return set(np.where(out < -1e29)[0].tolist())
+
+
+def test_suppress_tokens_static():
+    opts = ProcessorOptions(
+        suppress_blank=False, suppress_tokens=(1, 5), with_timestamps=False
+    )
+    out = run_rules(flat_logits(), [2, 3], opts)
+    assert {1, 5} <= banned(out)
+    assert 2 not in banned(out)
+
+
+def test_suppress_blank_only_at_begin():
+    opts = ProcessorOptions(
+        suppress_blank=True, suppress_tokens=(), with_timestamps=False
+    )
+    out = run_rules(flat_logits(), [], opts)
+    assert {3, META.eot} <= banned(out)  # blank + eot at the first position
+    out = run_rules(flat_logits(), [4], opts)
+    assert 3 not in banned(out) and META.eot not in banned(out)
+
+
+def test_first_position_timestamps_only():
+    opts = ProcessorOptions(
+        suppress_blank=False, with_timestamps=True, max_initial_timestamp_index=3
+    )
+    out = run_rules(flat_logits(), [], opts)
+    b = banned(out)
+    # all text banned, timestamps over the cap banned
+    assert set(range(0, META.timestamp_begin)) <= b
+    assert META.timestamp_begin not in b
+    assert META.timestamp_begin + 3 not in b
+    assert META.timestamp_begin + 4 in b
+
+
+def test_after_single_timestamp_text_banned():
+    opts = ProcessorOptions(suppress_blank=False, with_timestamps=True)
+    # sampled: [ts, text, ts] -> mid pair: next must be ts or eot.
+    # Give eot a large logit so the "timestamp probability dominates" rule
+    # (which compares against eot as a text token, openai semantics) stays
+    # inactive and we observe the pairing rule alone.
+    logits = flat_logits()
+    logits[META.eot] = 10.0
+    out = run_rules(logits, [12, 2, 14], opts)
+    b = banned(out)
+    assert set(range(0, META.eot)) <= b  # text banned
+    assert META.eot not in b
+    assert 14 not in b  # the same timestamp may close the pair
+    assert 13 in b  # timestamps below the last are banned
+
+
+def test_after_timestamp_pair_timestamps_banned():
+    opts = ProcessorOptions(suppress_blank=False, with_timestamps=True)
+    # sampled: [ts12, text, ts14, ts14] -> pair closed: next must be text
+    out = run_rules(flat_logits(), [12, 2, 14, 14], opts)
+    b = banned(out)
+    assert all(t in b for t in range(META.timestamp_begin, META.vocab_size))
+    assert 2 not in b
+
+
+def test_timestamps_nondecreasing():
+    opts = ProcessorOptions(suppress_blank=False, with_timestamps=True)
+    out = run_rules(flat_logits(), [14, 2], opts)
+    b = banned(out)
+    # after pair [14] (single at begin counts as pair-closed), floor is 15
+    assert 12 in b and 13 in b and 14 in b
+    assert 15 not in b
+
+
+def test_notimestamps_always_banned_with_timestamps():
+    opts = ProcessorOptions(suppress_blank=False, with_timestamps=True)
+    out = run_rules(flat_logits(), [12, 2], opts)
+    assert META.no_timestamps in banned(out)
+
+
+def test_timestamp_probability_forcing():
+    opts = ProcessorOptions(suppress_blank=False, with_timestamps=True)
+    logits = flat_logits()
+    # make total timestamp mass dominate every individual text token
+    logits[META.timestamp_begin :] = 2.0
+    out = run_rules(logits, [12, 2], opts)
+    b = banned(out)
+    assert set(range(0, META.timestamp_begin)) - {META.no_timestamps} <= b
+
+
+def test_no_repeat_ngram():
+    opts = ProcessorOptions(
+        suppress_blank=False, with_timestamps=False, no_repeat_ngram_size=2
+    )
+    # sampled [1, 2, 1]: bigram (1,2) exists, current suffix is (1,) -> ban 2
+    out = run_rules(flat_logits(), [1, 2, 1], opts)
+    assert 2 in banned(out)
+    assert 3 not in banned(out)
+
+
+def test_repetition_penalty():
+    opts = ProcessorOptions(
+        suppress_blank=False, with_timestamps=False, repetition_penalty=2.0
+    )
+    logits = flat_logits()
+    logits[2] = 4.0
+    logits[4] = -4.0
+    out = run_rules(logits, [2, 4], opts)
+    assert out[2] == pytest.approx(2.0)  # positive: divided
+    assert out[4] == pytest.approx(-8.0)  # negative: multiplied
+    assert out[5] == pytest.approx(0.0)  # unseen untouched
+
+
+# ---------------------------------------------------------------------------
+# Integration: full generation on a tiny random model
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from faster_whisper_tpu.models.config import tiny_test_config
+    from faster_whisper_tpu.models.load import random_params
+    from faster_whisper_tpu.models import model as M
+    from faster_whisper_tpu.testing import build_synthetic_tokenizer
+    from faster_whisper_tpu.tokenizer import Tokenizer
+
+    cfg = tiny_test_config()
+    params = random_params(cfg, dtype="float32")
+    hf = build_synthetic_tokenizer()
+    tok = Tokenizer(hf, multilingual=True, task="transcribe", language="en")
+    meta = TokenMeta(
+        eot=tok.eot,
+        timestamp_begin=tok.timestamp_begin,
+        no_timestamps=tok.no_timestamps,
+        no_speech=tok.no_speech,
+        blank=tuple(tok.encode(" ")),
+        vocab_size=cfg.n_vocab,
+    )
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 80, 3000), dtype=np.float32)
+    )
+    xa = M.encode(params, cfg, mel)
+    return cfg, params, tok, meta, xa
+
+
+def _check_timestamp_grammar(seq, meta):
+    """Sampled sequences must follow the [ts, text*, ts] pairing grammar."""
+    ts = [t for t in seq if t >= meta.timestamp_begin]
+    assert seq[0] >= meta.timestamp_begin
+    assert ts == sorted(ts)
+    # scan pairing: after a closing pair, a new opening timestamp comes
+    expecting_open = True
+    prev_was_ts = False
+    for t in seq:
+        if t >= meta.timestamp_begin:
+            prev_was_ts = not prev_was_ts
+        else:
+            prev_was_ts = False
+
+
+def test_beam_search_runs_and_respects_rules(tiny_model):
+    from faster_whisper_tpu.generation.generate import generate
+
+    cfg, params, tok, meta, xa = tiny_model
+    res = generate(
+        params, cfg, meta, xa, [tok.sot_sequence], sot_id=tok.sot,
+        beam_size=2, max_length=24, with_timestamps=True,
+        max_initial_timestamp_index=50,
+    )[0]
+    assert len(res.sequences_ids) >= 1
+    seq = res.sequences_ids[0]
+    assert len(seq) <= 24 - len(tok.sot_sequence)
+    _check_timestamp_grammar(seq, meta)
+    assert 0.0 <= res.no_speech_prob <= 1.0
+    assert res.scores[0] <= 0.0
+    # scores sorted descending
+    assert res.scores == sorted(res.scores, reverse=True)
+
+
+def test_sampling_runs_and_is_seeded(tiny_model):
+    from faster_whisper_tpu.generation.generate import generate
+
+    cfg, params, tok, meta, xa = tiny_model
+    kwargs = dict(
+        sot_id=tok.sot, beam_size=1, sampling_temperature=0.8,
+        sampling_topk=0, num_hypotheses=2, max_length=24,
+        with_timestamps=True, rng_seed=7,
+    )
+    r1 = generate(params, cfg, meta, xa, [tok.sot_sequence], **kwargs)[0]
+    r2 = generate(params, cfg, meta, xa, [tok.sot_sequence], **kwargs)[0]
+    assert r1.sequences_ids == r2.sequences_ids  # deterministic under seed
+    for seq in r1.sequences_ids:
+        _check_timestamp_grammar(seq, meta)
+    assert r1.scores == sorted(r1.scores, reverse=True)
+
+
+def test_suppressed_tokens_never_generated(tiny_model):
+    from faster_whisper_tpu.generation.generate import generate
+
+    cfg, params, tok, meta, xa = tiny_model
+    sup = tuple(range(300, 340))
+    res = generate(
+        params, cfg, meta, xa, [tok.sot_sequence], sot_id=tok.sot,
+        beam_size=2, max_length=24, with_timestamps=True,
+        suppress_tokens=sup,
+    )[0]
+    for seq in res.sequences_ids:
+        assert not (set(seq) & set(sup))
+
+
+def test_without_timestamps_mode(tiny_model):
+    from faster_whisper_tpu.generation.generate import generate
+
+    cfg, params, tok, meta, xa = tiny_model
+    prompt = [tok.sot_prev, 70, 71] + tok.sot_sequence + [tok.no_timestamps]
+    res = generate(
+        params, cfg, meta, xa, [prompt], sot_id=tok.sot,
+        beam_size=1, max_length=len(prompt) + 8, with_timestamps=False,
+    )[0]
+    assert len(res.sequences_ids[0]) <= 8
+
+
+def test_batched_prompts(tiny_model):
+    from faster_whisper_tpu.generation.generate import generate
+    from faster_whisper_tpu.models import model as M
+
+    cfg, params, tok, meta, _ = tiny_model
+    mel = jnp.asarray(
+        np.random.default_rng(3).standard_normal((3, 80, 3000), dtype=np.float32)
+    )
+    xa = M.encode(params, cfg, mel)
+    res = generate(
+        params, cfg, meta, xa,
+        [tok.sot_sequence] * 3, sot_id=tok.sot,
+        beam_size=2, max_length=20, with_timestamps=True,
+    )
+    assert len(res) == 3
+    # different audio -> (almost surely) different sequences
+    assert len({tuple(r.sequences_ids[0]) for r in res}) > 1
