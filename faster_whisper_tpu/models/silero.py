@@ -1,0 +1,203 @@
+"""Silero VAD v6 in JAX.
+
+TPU-native replacement for the onnxruntime execution of the bundled
+silero_vad_v6.onnx (reference: faster_whisper/vad.py:295-351).  The weights
+are extracted once from the ONNX file with our minimal protobuf reader; the
+graph (verified against the ONNX node list) is:
+
+    input (N, 576 = 64 context + 512 samples)
+      -> reflect-pad 128 both sides                      (N, 832)
+      -> STFT as conv: basis (258, 256), stride 128      (N, 258, 5)
+      -> drop first frame, magnitude over 129 bins       (N, 129, 4)
+      -> Conv(129->128, k3 s1 p1) + ReLU                 (N, 128, 4)
+      -> Conv(128->64,  k3 s2 p1) + ReLU                 (N, 64, 2)
+      -> Conv(64->64,   k3 s2 p1) + ReLU                 (N, 64, 1)
+      -> Conv(64->128,  k3 s1 p1) + ReLU                 (N, 128, 1)
+      -> LSTM(128) scanned ACROSS WINDOWS (the window axis is the LSTM's
+         time axis; onnxruntime exploits the same trick by carrying h/c
+         across batched calls, reference: vad.py:339-349)
+      -> ReLU -> Linear(128->1) -> sigmoid               (N,)
+
+The conv tower is embarrassingly parallel across windows (one big NWC conv
+batch on the MXU); only the 128-wide LSTM is sequential, as a lax.scan.
+"""
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_WINDOW = 512
+_CONTEXT = 64
+
+
+def load_silero_weights(onnx_path: Optional[str] = None) -> dict:
+    """Load the Silero v6 weights.
+
+    Prefers the converted .npz bundled with this package; falls back to
+    extracting from a silero_vad_v6.onnx (e.g. from a faster-whisper
+    installation) with our minimal protobuf reader.
+    """
+    if onnx_path is None:
+        npz = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets",
+            "silero_vad_v6.npz",
+        )
+        if os.path.exists(npz):
+            data = np.load(npz)
+            return {k: jnp.asarray(data[k], dtype=jnp.float32) for k in data.files}
+
+    from faster_whisper_tpu.models.onnx_reader import read_onnx_initializers
+
+    if onnx_path is None:
+        onnx_path = default_silero_path()
+    raw = read_onnx_initializers(onnx_path)
+
+    w = {
+        "stft_basis": raw["encoder.feature_extractor.forward_basis_buffer"][:, 0, :],
+        # torch Conv1d (out, in, k) -> NWC kernels (k, in, out)
+        "conv0_w": raw["encoder.conv_layers.0.weight"].transpose(2, 1, 0),
+        "conv0_b": raw["encoder.conv_layers.0.bias"],
+        "conv1_w": raw["encoder.conv_layers.1.weight"].transpose(2, 1, 0),
+        "conv1_b": raw["encoder.conv_layers.1.bias"],
+        "conv2_w": raw["encoder.conv_layers.2.weight"].transpose(2, 1, 0),
+        "conv2_b": raw["encoder.conv_layers.2.bias"],
+        "conv3_w": raw["encoder.conv_layers.3.weight"].transpose(2, 1, 0),
+        "conv3_b": raw["encoder.conv_layers.3.bias"],
+        # ONNX LSTM: W (1, 4H, I), R (1, 4H, H), B (1, 8H) with iofc gates
+        "lstm_w": raw["onnx::LSTM_209"][0],
+        "lstm_r": raw["onnx::LSTM_210"][0],
+        "lstm_b": raw["onnx::LSTM_211"][0],
+        "out_w": raw["decoder.conv1d.weight"][:, :, 0],  # (1, 128)
+        "out_b": raw["decoder.conv1d.bias"],
+    }
+    return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in w.items()}
+
+
+def default_silero_path() -> str:
+    """Locate a silero_vad_v6.onnx asset: our package assets dir first,
+    falling back to a faster-whisper installation's bundled copy."""
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        "silero_vad_v6.onnx",
+    )
+    if os.path.exists(here):
+        return here
+    for candidate in (
+        "/root/reference/faster_whisper/assets/silero_vad_v6.onnx",
+    ):
+        if os.path.exists(candidate):
+            return candidate
+    try:
+        import faster_whisper
+
+        return os.path.join(
+            os.path.dirname(faster_whisper.__file__), "assets", "silero_vad_v6.onnx"
+        )
+    except ImportError:
+        pass
+    raise FileNotFoundError(
+        "silero_vad_v6.onnx not found; place it under faster_whisper_tpu/assets/"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _vad_forward(weights: dict, windows: jax.Array) -> jax.Array:
+    """windows: (N, 576) f32 -> speech probabilities (N,) f32."""
+    n = windows.shape[0]
+
+    x = jnp.pad(windows, ((0, 0), (128, 128)), mode="reflect")  # (N, 832)
+
+    # STFT frames at offsets 128..512 (frame 0 is dropped by the graph).
+    frame_starts = 128 + 128 * jnp.arange(4)
+    idx = frame_starts[:, None] + jnp.arange(256)[None, :]  # (4, 256)
+    frames = x[:, idx]  # (N, 4, 256)
+
+    spec = jnp.einsum(
+        "nfs,cs->nfc",
+        frames,
+        weights["stft_basis"],
+        preferred_element_type=jnp.float32,
+    )  # (N, 4, 258)
+    real, imag = spec[..., :129], spec[..., 129:]
+    mag = jnp.sqrt(real * real + imag * imag)  # (N, 4, 129) NWC
+
+    dn = ("NWC", "WIO", "NWC")
+
+    def conv(x, w, b, stride):
+        y = jax.lax.conv_general_dilated(
+            x, w, (stride,), [(1, 1)], dimension_numbers=dn
+        )
+        return jax.nn.relu(y + b)
+
+    h = conv(mag, weights["conv0_w"], weights["conv0_b"], 1)  # (N, 4, 128)
+    h = conv(h, weights["conv1_w"], weights["conv1_b"], 2)  # (N, 2, 64)
+    h = conv(h, weights["conv2_w"], weights["conv2_b"], 2)  # (N, 1, 64)
+    h = conv(h, weights["conv3_w"], weights["conv3_b"], 1)  # (N, 1, 128)
+    feat = h[:, 0, :]  # (N, 128)
+
+    # LSTM across the window sequence (iofc gate order, ONNX semantics).
+    wi = weights["lstm_w"]  # (512, 128)
+    ri = weights["lstm_r"]  # (512, 128)
+    b = weights["lstm_b"]  # (1024,)
+    bias = b[:512] + b[512:]
+    x_gates = feat @ wi.T + bias  # (N, 512) precomputed input contribution
+
+    def step(carry, xg):
+        h, c = carry
+        gates = xg + h @ ri.T
+        i, o, f, g = jnp.split(gates, 4)
+        i, o, f = jax.nn.sigmoid(i), jax.nn.sigmoid(o), jax.nn.sigmoid(f)
+        c = f * c + i * jnp.tanh(g)
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros(128, jnp.float32), jnp.zeros(128, jnp.float32))
+    _, hs = jax.lax.scan(step, init, x_gates)  # (N, 128)
+
+    hs = jax.nn.relu(hs)
+    probs = jax.nn.sigmoid(hs @ weights["out_w"].T + weights["out_b"])  # (N, 1)
+    return probs[:, 0]
+
+
+class SileroVAD:
+    """Drop-in equivalent of the reference's SileroVADModel
+    (reference: faster_whisper/vad.py:316-351): audio (multiple of 512
+    samples) -> per-window speech probability, with the 64-sample context
+    carried from the previous window."""
+
+    def __init__(self, onnx_path: Optional[str] = None):
+        self.weights = load_silero_weights(onnx_path)
+
+    def __call__(
+        self,
+        audio: np.ndarray,
+        num_samples: int = _WINDOW,
+        context_size_samples: int = _CONTEXT,
+    ) -> np.ndarray:
+        assert audio.ndim == 1, "Input should be a 1D array"
+        assert audio.shape[0] % num_samples == 0, (
+            "Input size should be a multiple of num_samples"
+        )
+        windows = audio.reshape(-1, num_samples).astype(np.float32)
+        n = windows.shape[0]
+
+        # context[i] = last 64 samples of window i-1 (zeros for the first).
+        context = np.zeros((n, context_size_samples), dtype=np.float32)
+        if n > 1:
+            context[1:] = windows[:-1, -context_size_samples:]
+        stacked = np.concatenate([context, windows], axis=1)  # (N, 576)
+
+        # Bucket the window count so XLA compiles a handful of programs.
+        bucket = 2048
+        n_pad = max(bucket, -(-n // bucket) * bucket)
+        if n_pad != n:
+            stacked = np.pad(stacked, ((0, n_pad - n), (0, 0)))
+
+        probs = _vad_forward(self.weights, jnp.asarray(stacked))
+        return np.asarray(probs[:n])

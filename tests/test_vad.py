@@ -1,0 +1,169 @@
+import numpy as np
+import pytest
+
+import faster_whisper_tpu.vad as vad_mod
+from faster_whisper_tpu.vad import (
+    SpeechTimestampsMap,
+    VadOptions,
+    collect_chunks,
+    get_speech_timestamps,
+)
+
+SR = 16000
+WIN = 512
+
+
+class FakeModel:
+    """Injects a fixed probability sequence in place of the Silero net."""
+
+    def __init__(self, probs):
+        self.probs = np.asarray(probs, dtype=np.float32)
+
+    def __call__(self, audio):
+        n = len(audio) // WIN
+        out = np.zeros(n, dtype=np.float32)
+        out[: min(n, len(self.probs))] = self.probs[:n]
+        return out
+
+
+@pytest.fixture
+def fake_vad(monkeypatch):
+    def install(probs):
+        monkeypatch.setattr(vad_mod, "get_vad_model", lambda: FakeModel(probs))
+
+    return install
+
+
+def _audio(n_windows):
+    return np.zeros(n_windows * WIN, dtype=np.float32)
+
+
+def test_simple_speech_segment(fake_vad):
+    probs = [0.0] * 10 + [0.9] * 20 + [0.0] * 10
+    fake_vad(probs)
+    ts = get_speech_timestamps(
+        _audio(40), VadOptions(min_silence_duration_ms=100, speech_pad_ms=0)
+    )
+    assert len(ts) == 1
+    assert ts[0]["start"] == 10 * WIN
+    # end = first window below neg_threshold after speech
+    assert ts[0]["end"] == 30 * WIN
+
+
+def test_short_silence_not_split(fake_vad):
+    # 100 ms silence < min_silence 2000 ms: stays one chunk
+    probs = [0.9] * 20 + [0.0] * 3 + [0.9] * 20
+    fake_vad(probs)
+    ts = get_speech_timestamps(_audio(43), VadOptions(speech_pad_ms=0))
+    assert len(ts) == 1
+
+
+def test_long_silence_splits(fake_vad):
+    # 2.5 s silence >= min_silence 2000 ms: two chunks
+    n_sil = int(2.5 * SR / WIN) + 1
+    probs = [0.9] * 20 + [0.0] * n_sil + [0.9] * 20 + [0.0] * 70
+    fake_vad(probs)
+    ts = get_speech_timestamps(
+        _audio(len(probs)), VadOptions(speech_pad_ms=0)
+    )
+    assert len(ts) == 2
+
+
+def test_min_speech_duration_filters(fake_vad):
+    probs = [0.0] * 5 + [0.9] * 2 + [0.0] * 80  # 64 ms of speech
+    fake_vad(probs)
+    ts = get_speech_timestamps(
+        _audio(len(probs)),
+        VadOptions(
+            min_speech_duration_ms=250,
+            min_silence_duration_ms=100,
+            speech_pad_ms=0,
+        ),
+    )
+    assert ts == []
+
+
+def test_max_speech_duration_splits(fake_vad):
+    probs = [0.9] * 200  # 6.4 s of continuous speech
+    fake_vad(probs)
+    ts = get_speech_timestamps(
+        _audio(200),
+        VadOptions(max_speech_duration_s=3.0, speech_pad_ms=0),
+    )
+    assert len(ts) >= 2
+    for t in ts:
+        assert (t["end"] - t["start"]) / SR <= 3.1
+
+
+def test_speech_pad_applied(fake_vad):
+    probs = [0.0] * 20 + [0.9] * 20 + [0.0] * 20
+    fake_vad(probs)
+    ts = get_speech_timestamps(
+        _audio(60),
+        VadOptions(min_silence_duration_ms=100, speech_pad_ms=400),
+    )
+    assert len(ts) == 1
+    pad = int(0.4 * SR)
+    assert ts[0]["start"] == 20 * WIN - pad
+
+
+def test_neg_threshold_hysteresis(fake_vad):
+    # probabilities hovering between neg_threshold (0.35) and threshold (0.5)
+    # keep the segment open
+    probs = [0.9] * 10 + [0.4] * 10 + [0.9] * 10 + [0.0] * 80
+    fake_vad(probs)
+    ts = get_speech_timestamps(
+        _audio(len(probs)), VadOptions(min_silence_duration_ms=100, speech_pad_ms=0)
+    )
+    assert len(ts) == 1
+
+
+def test_collect_chunks_empty():
+    chunks, meta = collect_chunks(np.zeros(100, np.float32), [])
+    assert len(chunks) == 1 and chunks[0].size == 0
+    assert meta == [{"offset": 0, "duration": 0, "segments": []}]
+
+
+def test_collect_chunks_packs_to_max_duration():
+    audio = np.arange(SR * 10, dtype=np.float32)
+    ts = [
+        {"start": 0, "end": SR * 2},
+        {"start": SR * 3, "end": SR * 5},
+        {"start": SR * 6, "end": SR * 9},
+    ]
+    chunks, meta = collect_chunks(audio, ts, max_duration=4.0)
+    assert len(chunks) == 2
+    assert meta[0]["duration"] == pytest.approx(4.0)
+    assert meta[1]["offset"] == pytest.approx(4.0)
+    assert meta[1]["duration"] == pytest.approx(3.0)
+    # data integrity: concatenated chunks == concatenated speech regions
+    np.testing.assert_array_equal(
+        np.concatenate(chunks),
+        np.concatenate([audio[t["start"] : t["end"]] for t in ts]),
+    )
+
+
+def test_speech_timestamps_map_roundtrip():
+    ts = [
+        {"start": SR * 2, "end": SR * 4},
+        {"start": SR * 7, "end": SR * 10},
+    ]
+    m = SpeechTimestampsMap(ts, SR)
+    # time 0 in compressed clock -> 2 s original (2 s leading silence)
+    assert m.get_original_time(0.0) == pytest.approx(2.0)
+    assert m.get_original_time(1.0) == pytest.approx(3.0)
+    # after the first chunk (2 s compressed), 3 s more silence accrued
+    assert m.get_original_time(3.0) == pytest.approx(8.0)
+
+
+def test_real_audio_vad(jfk_path):
+    import faster_whisper_tpu as fw
+
+    audio = fw.decode_audio(jfk_path, sampling_rate=16000)
+    ts = get_speech_timestamps(audio, VadOptions())
+    # jfk.flac is continuous speech: one chunk covering nearly everything
+    assert len(ts) >= 1
+    speech = sum(t["end"] - t["start"] for t in ts) / SR
+    assert speech > 9.0
+    silence = np.zeros(SR * 3, dtype=np.float32)
+    assert get_speech_timestamps(silence) == []
