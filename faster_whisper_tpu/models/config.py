@@ -28,9 +28,14 @@ class WhisperConfig:
     # used for word-level timestamps (DTW).  Empty -> use the lower half of
     # the decoder layers' heads, the openai default fallback.
     alignment_heads: Tuple[Tuple[int, int], ...] = ()
+    # None -> infer from vocabulary size (multilingual vocabs are >= 51865,
+    # which is how the reference's CT2 models flag it); tests override.
+    multilingual: Optional[bool] = None
 
     @property
     def is_multilingual(self) -> bool:
+        if self.multilingual is not None:
+            return self.multilingual
         return self.n_vocab >= 51865
 
     @property
@@ -128,6 +133,7 @@ def tiny_test_config(
         n_text_state=64,
         n_text_head=2,
         n_text_layer=2,
+        multilingual=True,
     )
 
 

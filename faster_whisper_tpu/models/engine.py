@@ -1,0 +1,426 @@
+"""WhisperEngine: the device-side inference surface.
+
+This is the TPU-native replacement for the ``ctranslate2.models.Whisper``
+object: the reference drives exactly four native entry points —
+``encode``, ``generate``, ``align`` and ``detect_language`` plus the
+``is_multilingual``/``n_mels`` properties (reference:
+faster_whisper/transcribe.py:689-698, :1391-1400, :1446-1459, :1709-1715,
+:1823, :484) — and this class provides the same surface on top of the JAX
+model + generation stack, so the policy layer (transcribe.py) maps 1:1.
+"""
+
+import functools
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_whisper_tpu.generation.generate import WhisperGenerationResult, generate
+from faster_whisper_tpu.generation.processors import TokenMeta
+from faster_whisper_tpu.models import model as M
+from faster_whisper_tpu.models.config import WhisperConfig
+from faster_whisper_tpu.tokenizer import _LANGUAGE_CODES
+
+
+class AlignmentResult:
+    """Mirror of CT2's WhisperAlignmentResult (.text_token_probs,
+    .alignments) consumed at transcribe.py:1716-1750."""
+
+    __slots__ = ("text_token_probs", "alignments")
+
+    def __init__(self, text_token_probs, alignments):
+        self.text_token_probs = text_token_probs
+        self.alignments = alignments
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forced pass that accumulates alignment-head QK scores on the fly.
+#
+# The naive approach returns all cross-attention weights (L, B, H, S, T) —
+# 13+ GB for large-v3 at S=448 — so instead each scan step projects its
+# layer's scores through a static one-hot (L, K, H) selector and adds them
+# into a (B, K, S, T) accumulator, where K = number of alignment heads.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config", "head_select"))
+def _forward_with_alignment(
+    params,
+    config: WhisperConfig,
+    head_select: Tuple[Tuple[int, int], ...],  # static ((layer, head), ...)
+    tokens: jax.Array,  # (B, S)
+    xa: jax.Array,  # (B, T, d)
+):
+    """Returns (logits (B,S,V) f32, qk_scores (B,K,S,T) f32 raw scaled
+    attention scores for the selected heads)."""
+    dec = params["decoder"]
+    b, s = tokens.shape
+    t = xa.shape[1]
+    dtype = dec["token_embed"].dtype
+    n_head = config.n_text_head
+    dh = config.n_text_state // n_head
+    L = config.n_text_layer
+    K = len(head_select)
+
+    # (L, K, H) one-hot selector
+    sel = np.zeros((L, K, n_head), dtype=np.float32)
+    for k, (layer, head) in enumerate(head_select):
+        sel[layer, k, head] = 1.0
+    sel = jnp.asarray(sel)
+
+    x = dec["token_embed"][tokens] + dec["pos_embed"][:s][None]
+    x = x.astype(dtype)
+
+    i = jnp.arange(s)[:, None]
+    j = jnp.arange(s)[None, :]
+    causal = (j <= i)[None, None]
+
+    scale = dh ** -0.5
+
+    def body(carry, scanned):
+        x, acc, layer_idx = carry
+        p = scanned
+
+        h = M.layer_norm(x, p["ln1_g"], p["ln1_b"])
+        q, kk, vv = M._attn_qkv(p["self_attn"], h, n_head)
+        attn = M.mha(q, kk, vv, mask=causal)
+        x = x + M._dense(
+            M._merge_heads(attn), p["self_attn"]["wo"], p["self_attn"]["bo"]
+        )
+
+        h = M.layer_norm(x, p["ln2_g"], p["ln2_b"])
+        cp = p["cross_attn"]
+        qx = M._split_heads(M._dense(h, cp["wq"], cp["bq"]), n_head)
+        kx = M._split_heads(M._dense(xa.astype(dtype), cp["wk"]), n_head)
+        vx = M._split_heads(M._dense(xa.astype(dtype), cp["wv"], cp["bv"]), n_head)
+
+        scores = (
+            jnp.einsum("bshd,bthd->bhst", qx, kx, preferred_element_type=jnp.float32)
+            * scale
+        )
+        w = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhst,bthd->bshd", w.astype(vx.dtype), vx)
+        x = x + M._dense(M._merge_heads(attn), cp["wo"], cp["bo"])
+
+        # project this layer's raw scores into the alignment accumulator
+        acc = acc + jnp.einsum("kh,bhst->bkst", sel[layer_idx], scores)
+
+        h = M.layer_norm(x, p["ln3_g"], p["ln3_b"])
+        x = x + M._mlp(p["mlp"], h)
+        return (x, acc, layer_idx + 1), None
+
+    acc0 = jnp.zeros((b, K, s, t), jnp.float32)
+    (x, acc, _), _ = jax.lax.scan(body, (x, acc0, 0), dec["layers"])
+    x = M.layer_norm(x, dec["ln_g"], dec["ln_b"])
+    logits = jnp.dot(x, dec["token_embed"].T, preferred_element_type=jnp.float32)
+    return logits, acc
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _detect_language_logits(params, config: WhisperConfig, xa, sot_id):
+    """Single decoder step on <|startoftranscript|>; returns logits (B, V)."""
+    b = xa.shape[0]
+    tokens = jnp.full((b, 1), sot_id, jnp.int32)
+    lengths = jnp.ones((b,), jnp.int32)
+    gather = jnp.zeros((b, 1), jnp.int32)
+    logits, _ = M.decoder_prefill(params, config, tokens, lengths, xa, gather)
+    return logits[:, 0]
+
+
+def _median_filter_time(x: np.ndarray, width: int) -> np.ndarray:
+    """Median filter along the last axis with mirror padding (matches the
+    torch reflect-pad median filter used for whisper timing)."""
+    if width <= 1:
+        return x
+    from scipy.ndimage import median_filter
+
+    size = (1,) * (x.ndim - 1) + (width,)
+    return median_filter(x, size=size, mode="mirror")
+
+
+def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Monotonic DTW over a (N, M) cost matrix; returns (text_idx, time_idx)
+    backtraced path.  Vectorized over anti-diagonals (the N,M here are at
+    most 448 x 1500)."""
+    n, m = cost.shape
+    INF = np.float64(np.inf)
+    acc = np.full((n + 1, m + 1), INF, dtype=np.float64)
+    acc[0, 0] = 0.0
+    trace = np.zeros((n + 1, m + 1), dtype=np.int8)
+
+    # anti-diagonal d ranges over i + j
+    for d in range(1, n + m + 1):
+        i_lo = max(1, d - m)
+        i_hi = min(n, d)
+        if i_lo > i_hi:
+            continue
+        i = np.arange(i_lo, i_hi + 1)
+        j = d - i
+        valid = (j >= 1) & (j <= m)
+        i, j = i[valid], j[valid]
+        c0 = acc[i - 1, j - 1]  # match (diag)
+        c1 = acc[i - 1, j]  # insertion
+        c2 = acc[i, j - 1]  # deletion
+        best = np.minimum(np.minimum(c0, c1), c2)
+        acc[i, j] = cost[i - 1, j - 1] + best
+        t = np.where(best == c0, 0, np.where(best == c1, 1, 2))
+        trace[i, j] = t
+
+    # backtrace
+    i, j = n, m
+    text_idx, time_idx = [], []
+    while i > 0 or j > 0:
+        text_idx.append(i - 1)
+        time_idx.append(j - 1)
+        if i > 0 and j > 0:
+            t = trace[i, j]
+        elif i > 0:
+            t = 1
+        else:
+            t = 2
+        if t == 0:
+            i -= 1
+            j -= 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.array(text_idx[::-1]), np.array(time_idx[::-1])
+
+
+class WhisperEngine:
+    """Device-side Whisper inference engine (CT2 surface equivalent)."""
+
+    def __init__(
+        self,
+        params,
+        config: WhisperConfig,
+        hf_tokenizer=None,
+        token_ids: Optional[dict] = None,
+    ):
+        """``token_ids`` may pre-specify the special ids; otherwise they are
+        resolved from ``hf_tokenizer``."""
+        self.params = params
+        self.config = config
+        self.device = "tpu"
+        self.device_index = 0
+
+        if token_ids is None:
+            token_ids = resolve_token_ids(hf_tokenizer)
+        self._ids = token_ids
+        self.meta = TokenMeta(
+            eot=token_ids["eot"],
+            timestamp_begin=token_ids["timestamp_begin"],
+            no_timestamps=token_ids["no_timestamps"],
+            no_speech=token_ids["no_speech"],
+            blank=tuple(token_ids["blank"]),
+            vocab_size=config.n_vocab,
+        )
+        self.sot_id = token_ids["sot"]
+        # [(code, token_id)] for language detection
+        self.language_tokens: List[Tuple[str, int]] = token_ids["languages"]
+
+    # -- properties the reference reads (transcribe.py:484, :1394) --
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.config.is_multilingual and bool(self.language_tokens)
+
+    @property
+    def n_mels(self) -> int:
+        return self.config.n_mels
+
+    # -- encode ---------------------------------------------------------
+
+    def encode(self, features: np.ndarray, to_cpu: bool = False) -> jax.Array:
+        """(B, n_mels, 3000) or (n_mels, 3000) mel -> encoder states."""
+        if features.ndim == 2:
+            features = features[None]
+        return M.encode(self.params, self.config, jnp.asarray(features))
+
+    # -- generate -------------------------------------------------------
+
+    def generate(
+        self,
+        encoder_output: jax.Array,
+        prompts: Sequence[Sequence[int]],
+        *,
+        beam_size: int = 5,
+        patience: float = 1.0,
+        num_hypotheses: int = 1,
+        length_penalty: float = 1.0,
+        repetition_penalty: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        max_length: int = 448,
+        return_scores: bool = False,
+        return_no_speech_prob: bool = False,
+        suppress_blank: bool = True,
+        suppress_tokens: Optional[Sequence[int]] = (),
+        max_initial_timestamp_index: int = 50,
+        sampling_temperature: float = 1.0,
+        sampling_topk: int = 1,
+    ) -> List[WhisperGenerationResult]:
+        prompts = [list(p) for p in prompts]
+        # CT2 semantics: timestamp rules are active unless the prompt opts
+        # out with <|notimestamps|>.
+        with_timestamps = self.meta.no_timestamps not in prompts[0]
+        return generate(
+            self.params,
+            self.config,
+            self.meta,
+            encoder_output,
+            prompts,
+            sot_id=self.sot_id,
+            beam_size=beam_size,
+            patience=patience,
+            length_penalty=length_penalty,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size,
+            max_length=max_length,
+            return_scores=return_scores,
+            return_no_speech_prob=return_no_speech_prob,
+            suppress_blank=suppress_blank,
+            suppress_tokens=suppress_tokens,
+            max_initial_timestamp_index=max_initial_timestamp_index,
+            sampling_temperature=sampling_temperature,
+            sampling_topk=sampling_topk,
+            num_hypotheses=num_hypotheses,
+            with_timestamps=with_timestamps,
+        )
+
+    # -- language detection (transcribe.py:1823, :1193) ------------------
+
+    def detect_language(self, encoder_output: jax.Array):
+        """Per-batch sorted [(token, prob)] over the language tokens."""
+        if not self.language_tokens:
+            return [[("<|en|>", 1.0)] for _ in range(encoder_output.shape[0])]
+        logits = _detect_language_logits(
+            self.params, self.config, encoder_output, self.sot_id
+        )
+        lang_ids = np.array([tid for _, tid in self.language_tokens])
+        lang_logits = np.asarray(logits)[:, lang_ids]
+        lang_logits = lang_logits - lang_logits.max(axis=-1, keepdims=True)
+        probs = np.exp(lang_logits)
+        probs /= probs.sum(axis=-1, keepdims=True)
+
+        results = []
+        for row in probs:
+            order = np.argsort(-row)
+            results.append(
+                [
+                    ("<|%s|>" % self.language_tokens[i][0], float(row[i]))
+                    for i in order
+                ]
+            )
+        return results
+
+    # -- alignment (transcribe.py:1709-1715) -----------------------------
+
+    def _alignment_heads(self) -> Tuple[Tuple[int, int], ...]:
+        if self.config.alignment_heads:
+            return tuple(tuple(h) for h in self.config.alignment_heads)
+        # openai fallback: every head of the upper half of decoder layers
+        L, H = self.config.n_text_layer, self.config.n_text_head
+        return tuple((layer, head) for layer in range(L // 2, L) for head in range(H))
+
+    def align(
+        self,
+        encoder_output: jax.Array,
+        start_sequence: Sequence[int],
+        text_tokens: List[List[int]],
+        num_frames,
+        median_filter_width: int = 7,
+    ) -> List[AlignmentResult]:
+        """Teacher-forced pass + cross-attention DTW word alignment.
+
+        ``num_frames`` is an int or per-item list of content frame counts
+        (mel frames; encoder states cover num_frames // 2).
+        """
+        b = len(text_tokens)
+        if isinstance(num_frames, int):
+            num_frames = [num_frames] * b
+        assert encoder_output.shape[0] == b
+
+        sot_len = len(start_sequence)
+        prefix = list(start_sequence) + [self.meta.no_timestamps]
+        seqs = [prefix + list(t) + [self.meta.eot] for t in text_tokens]
+        max_len = max(len(s) for s in seqs)
+        pad_to = min(self.config.n_text_ctx, -(-max_len // 64) * 64)
+        tokens = np.zeros((b, pad_to), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            tokens[i, : len(s)] = s[:pad_to]
+
+        heads = self._alignment_heads()
+        logits, qk = _forward_with_alignment(
+            self.params,
+            self.config,
+            heads,
+            jnp.asarray(tokens),
+            encoder_output,
+        )
+        logits = np.asarray(logits)
+        qk = np.asarray(qk)  # (B, K, S, T)
+
+        results = []
+        for i, text in enumerate(text_tokens):
+            n_text = len(text)
+            if n_text == 0:
+                results.append(AlignmentResult([], []))
+                continue
+
+            # token probabilities (over the text sub-vocabulary)
+            # logits at position p predict token p+1; text starts after
+            # the [*sot, notimestamps] prefix.
+            start = len(prefix) - 1
+            lg = logits[i, start : start + n_text, : self.meta.eot]
+            lg = lg - lg.max(axis=-1, keepdims=True)
+            p = np.exp(lg)
+            p /= p.sum(axis=-1, keepdims=True)
+            text_token_probs = p[np.arange(n_text), text].tolist()
+
+            # alignment matrix over [text..., eot] rows
+            t_frames = max(1, num_frames[i] // 2)
+            w = qk[i, :, start : start + n_text + 1, :t_frames]  # (K, S', T')
+            w = w - w.max(axis=-1, keepdims=True)
+            w = np.exp(w)
+            w /= w.sum(axis=-1, keepdims=True)
+            mean = w.mean(axis=-2, keepdims=True)
+            std = w.std(axis=-2, keepdims=True) + 1e-9
+            w = (w - mean) / std
+            w = _median_filter_time(w, median_filter_width)
+            matrix = w.mean(axis=0)  # (S', T')
+
+            text_idx, time_idx = dtw_path(-matrix.astype(np.float64))
+            alignments = list(zip(text_idx.tolist(), time_idx.tolist()))
+            results.append(AlignmentResult(text_token_probs, alignments))
+
+        return results
+
+
+def resolve_token_ids(hf_tokenizer) -> dict:
+    """Resolve the Whisper special-token layout from a tokenizers.Tokenizer."""
+    def tid(tok):
+        return hf_tokenizer.token_to_id(tok)
+
+    eot = tid("<|endoftext|>")
+    no_timestamps = tid("<|notimestamps|>")
+    no_speech = tid("<|nospeech|>")
+    if no_speech is None:
+        no_speech = tid("<|nocaptions|>")
+    languages = []
+    for code in _LANGUAGE_CODES:
+        t = tid("<|%s|>" % code)
+        if t is not None:
+            languages.append((code, t))
+    blank = hf_tokenizer.encode(" ", add_special_tokens=False).ids
+    return {
+        "eot": eot,
+        "sot": tid("<|startoftranscript|>"),
+        "no_timestamps": no_timestamps,
+        "timestamp_begin": no_timestamps + 1,
+        "no_speech": no_speech if no_speech is not None else eot,
+        "blank": blank,
+        "languages": languages,
+    }

@@ -52,3 +52,19 @@ def build_synthetic_tokenizer(n_timestamps: int = 1501):
 
 def synthetic_vocab_size(n_timestamps: int = 1501) -> int:
     return 256 + 2 + len(_LANGUAGE_CODES) + 6 + n_timestamps
+
+
+def build_test_model(seed: int = 0, dtype: str = "float32"):
+    """A complete WhisperModel over the micro config + synthetic tokenizer.
+
+    Text output is meaningless (random weights) but every pipeline stage —
+    features, encoder, generation, fallback, timestamps, VAD, batching —
+    runs exactly as it would with production weights.
+    """
+    from faster_whisper_tpu.models.config import tiny_test_config
+    from faster_whisper_tpu.models.load import random_params
+    from faster_whisper_tpu.transcribe import WhisperModel
+
+    config = tiny_test_config()
+    params = random_params(config, seed=seed, dtype=dtype)
+    return WhisperModel.from_parts(params, config, build_synthetic_tokenizer())

