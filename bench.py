@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Headline benchmark: 13-minute batched transcription wall-clock on TPU.
+
+Mirrors the reference's speed benchmark (reference: benchmark/
+speed_benchmark.py:21-27 — timeit of a full transcribe of the 13-minute
+benchmark.m4a, min of repeats; our baseline row is large-v2 beam=5
+batch_size=8 at 16-17 s on an RTX 3070 Ti, BASELINE.md).
+
+This environment has no network egress, so production weights cannot be
+downloaded: the model is a random-initialized **large-v3** (exact
+architecture: 1280x20x32 encoder/decoder, 128 mels, 51866 vocab via a
+synthetic tokenizer with the production vocabulary size) and the audio is
+real speech (jfk.flac tiled to 13 minutes) so the real Silero VAD produces
+realistic chunking.  Decoded token count per chunk is pinned with
+max_new_tokens so the per-chunk work matches a realistic transcription
+(~128 tokens / 30 s chunk) instead of free-running to the 448 cap on random
+logits.  Everything else — mel frontend, VAD, beam search (beam 5), the
+batched pipeline — is the production code path.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+where vs_baseline = 16.0 / seconds (>1.0 means faster than the reference's
+best published batched GPU number).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def load_audio_13min() -> np.ndarray:
+    import faster_whisper_tpu as fw
+
+    jfk = "/root/reference/tests/data/jfk.flac"
+    if os.path.exists(jfk):
+        base = fw.decode_audio(jfk, sampling_rate=16000)
+    else:
+        # fallback: synthetic speech-band noise bursts
+        rng = np.random.default_rng(0)
+        t = np.arange(16000 * 11) / 16000
+        base = (
+            0.3 * np.sin(2 * np.pi * 150 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+            + 0.05 * rng.standard_normal(len(t))
+        ).astype(np.float32)
+    target = 13 * 60 * 16000
+    reps = int(np.ceil(target / len(base)))
+    return np.tile(base, reps)[:target]
+
+
+def build_model(model_name: str = "large-v3"):
+    from faster_whisper_tpu.models.config import CONFIGS
+    from faster_whisper_tpu.models.load import random_params_device
+    from faster_whisper_tpu.testing import build_synthetic_tokenizer
+    from faster_whisper_tpu.transcribe import WhisperModel
+
+    config = CONFIGS[model_name]
+    tok = build_synthetic_tokenizer(base_vocab=50257)
+    vocab = tok.get_vocab_size()
+    assert vocab == config.n_vocab, (vocab, config.n_vocab)
+    params = random_params_device(config, seed=0, dtype="bfloat16")
+    return WhisperModel.from_parts(
+        params, config, tok, {"feature_size": config.n_mels}
+    )
+
+
+def run_once(model, audio, batch_size=8, beam_size=5) -> float:
+    from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+    pipeline = BatchedInferencePipeline(model)
+    start = time.perf_counter()
+    segments, info = pipeline.transcribe(
+        audio,
+        language="en",
+        beam_size=beam_size,
+        batch_size=batch_size,
+        max_new_tokens=128,
+        temperature=[0.0],
+    )
+    n_segments = sum(1 for _ in segments)
+    elapsed = time.perf_counter() - start
+    print(
+        f"# run: {elapsed:.2f}s, {n_segments} segments, "
+        f"duration_after_vad={info.duration_after_vad:.0f}s",
+        file=sys.stderr,
+    )
+    return elapsed
+
+
+def main():
+    model_name = os.environ.get("BENCH_MODEL", "large-v3")
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    beam_size = int(os.environ.get("BENCH_BEAM", "5"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+
+    import jax
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    model = build_model(model_name)
+    audio = load_audio_13min()
+    print(f"# setup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # warmup (compiles the mel/VAD/encode/beam programs)
+    warm = run_once(model, audio[: 16000 * 65], batch_size, beam_size)
+    print(f"# warmup(65s audio): {warm:.2f}s", file=sys.stderr)
+
+    times = [run_once(model, audio, batch_size, beam_size) for _ in range(repeats)]
+    best = min(times)
+
+    baseline = 16.0  # reference large-v2 int8 batch=8 on RTX 3070 Ti
+    print(
+        json.dumps(
+            {
+                "metric": f"13min-audio batched transcribe wall-clock "
+                f"({model_name} random-weights, beam={beam_size}, "
+                f"batch={batch_size}, 128 tok/chunk)",
+                "value": round(best, 3),
+                "unit": "s",
+                "vs_baseline": round(baseline / best, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,10 @@ class GenOptions:
     sampling: bool = False
     sampling_temperature: float = 1.0
     sampling_topk: int = 0  # 0 = unrestricted
+    # Static cache/buffer length: a bucketed bound on max_length.  Sizing
+    # the KV cache by the actual decode budget instead of the model's full
+    # 448 context cuts the dominant HBM allocation proportionally.
+    ctx_cap: int = 448
 
 
 class WhisperGenerationResult:
@@ -104,7 +108,7 @@ def _gen_decoder_step(
     b, k = token.shape
     n_head = config.n_text_head
     dh = config.n_text_state // n_head
-    ctx = config.n_text_ctx
+    ctx = self_k.shape[3]
     dtype = dec["token_embed"].dtype
 
     x = dec["token_embed"][token] + dec["pos_embed"][pos]
@@ -191,12 +195,12 @@ def beam_search(
     F = gen_opts.num_finished
     lp_pow = gen_opts.length_penalty
     b, p = prompt.shape
-    ctx = config.n_text_ctx
+    ctx = min(gen_opts.ctx_cap, config.n_text_ctx)
     V = meta.vocab_size
 
     gather_pos = jnp.stack([prompt_len - 1, sot_pos], axis=1)
     first_logits, cache0 = decoder_prefill(
-        params, config, prompt, prompt_len, xa, gather_pos
+        params, config, prompt, prompt_len, xa, gather_pos, ctx=ctx
     )
     no_speech_prob = jax.nn.softmax(first_logits[:, 1], axis=-1)[:, meta.no_speech]
 
@@ -379,13 +383,13 @@ def sample(
     """
     K = gen_opts.beam_size
     b, p = prompt.shape
-    ctx = config.n_text_ctx
+    ctx = min(gen_opts.ctx_cap, config.n_text_ctx)
     V = meta.vocab_size
     temp = gen_opts.sampling_temperature
 
     gather_pos = jnp.stack([prompt_len - 1, sot_pos], axis=1)
     first_logits, cache0 = decoder_prefill(
-        params, config, prompt, prompt_len, xa, gather_pos
+        params, config, prompt, prompt_len, xa, gather_pos, ctx=ctx
     )
     no_speech_prob = jax.nn.softmax(first_logits[:, 1], axis=-1)[:, meta.no_speech]
 
@@ -527,6 +531,10 @@ def generate(
         no_repeat_ngram_size=no_repeat_ngram_size,
     )
 
+    # Cache/buffer length: bucket the requested max_length so XLA compiles
+    # a handful of programs and short decode budgets stay cheap.
+    ctx_cap = min(448, _bucket(max(max_length, P + 1), step=64, cap=448))
+
     is_sampling = sampling_temperature > 0 and beam_size == 1
     results: List[WhisperGenerationResult] = []
 
@@ -538,6 +546,7 @@ def generate(
             sampling=True,
             sampling_temperature=sampling_temperature,
             sampling_topk=sampling_topk,
+            ctx_cap=ctx_cap,
         )
         tokens, lens, sum_lp, finished, nsp = sample(
             params,
@@ -575,6 +584,7 @@ def generate(
             num_finished=max(1, round(beam_size * patience)),
             length_penalty=length_penalty,
             sampling=False,
+            ctx_cap=ctx_cap,
         )
         (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score,
          nsp, _pl) = beam_search(

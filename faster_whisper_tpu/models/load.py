@@ -40,6 +40,127 @@ from faster_whisper_tpu.models.config import CONFIGS, WhisperConfig, config_from
 # ---------------------------------------------------------------------------
 
 
+def param_shapes(config: WhisperConfig):
+    """Pytree of (shape, kind) describing the full parameter structure;
+    kind is 'w' (random-normal), 'zero', 'one', or 'sinusoid'."""
+    d = config.n_audio_state
+    dd = config.n_text_state
+    Le, Ld = config.n_audio_layer, config.n_text_layer
+
+    def attn(L, dim):
+        return {
+            "wq": ((L, dim, dim), "w"),
+            "bq": ((L, dim), "zero"),
+            "wk": ((L, dim, dim), "w"),
+            "wv": ((L, dim, dim), "w"),
+            "bv": ((L, dim), "zero"),
+            "wo": ((L, dim, dim), "w"),
+            "bo": ((L, dim), "zero"),
+        }
+
+    def mlp(L, dim):
+        return {
+            "w1": ((L, dim, 4 * dim), "w"),
+            "b1": ((L, 4 * dim), "zero"),
+            "w2": ((L, 4 * dim, dim), "w"),
+            "b2": ((L, dim), "zero"),
+        }
+
+    return {
+        "encoder": {
+            "conv1_w": ((3, config.n_mels, d), "w"),
+            "conv1_b": ((d,), "zero"),
+            "conv2_w": ((3, d, d), "w"),
+            "conv2_b": ((d,), "zero"),
+            "pos_embed": ((config.n_audio_ctx, d), "sinusoid"),
+            "layers": {
+                "ln1_g": ((Le, d), "one"),
+                "ln1_b": ((Le, d), "zero"),
+                "attn": attn(Le, d),
+                "ln2_g": ((Le, d), "one"),
+                "ln2_b": ((Le, d), "zero"),
+                "mlp": mlp(Le, d),
+            },
+            "ln_post_g": ((d,), "one"),
+            "ln_post_b": ((d,), "zero"),
+        },
+        "decoder": {
+            "token_embed": ((config.n_vocab, dd), "w"),
+            "pos_embed": ((config.n_text_ctx, dd), "w"),
+            "layers": {
+                "ln1_g": ((Ld, dd), "one"),
+                "ln1_b": ((Ld, dd), "zero"),
+                "self_attn": attn(Ld, dd),
+                "ln2_g": ((Ld, dd), "one"),
+                "ln2_b": ((Ld, dd), "zero"),
+                "cross_attn": attn(Ld, dd),
+                "ln3_g": ((Ld, dd), "one"),
+                "ln3_b": ((Ld, dd), "zero"),
+                "mlp": mlp(Ld, dd),
+            },
+            "ln_g": ((dd,), "one"),
+            "ln_b": ((dd,), "zero"),
+        },
+    }
+
+
+def _is_shape_leaf(x):
+    return (
+        isinstance(x, tuple)
+        and len(x) == 2
+        and isinstance(x[0], tuple)
+        and isinstance(x[1], str)
+    )
+
+
+def random_params_device(config: WhisperConfig, seed: int = 0, dtype="bfloat16"):
+    """On-device random init — fast for large models (no host RNG loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from faster_whisper_tpu.models.model import sinusoids
+
+    shapes = param_shapes(config)
+    leaves, treedef = jax.tree.flatten(shapes, is_leaf=_is_shape_leaf)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def init_leaf_batch():
+        out = []
+        for i, (shape, kind) in enumerate(leaves):
+            if kind == "w":
+                out.append(
+                    jax.random.normal(jax.random.fold_in(key, i), shape, jnp.float32)
+                    * 0.02
+                )
+            elif kind == "zero":
+                out.append(jnp.zeros(shape, jnp.float32))
+            elif kind == "one":
+                out.append(jnp.ones(shape, jnp.float32))
+            else:  # sinusoid
+                out.append(jnp.zeros(shape, jnp.float32))
+        return [x.astype(dtype) for x in out]
+
+    arrs = init_leaf_batch()
+    params = jax.tree.unflatten(treedef, arrs)
+    params["encoder"]["pos_embed"] = jnp.asarray(
+        sinusoids(config.n_audio_ctx, config.n_audio_state), dtype=dtype
+    )
+    return params
+
+
+def abstract_params(config: WhisperConfig, dtype="bfloat16"):
+    """Pytree of ShapeDtypeStruct (for AOT lowering / sharding planning)."""
+    import jax
+
+    shapes = param_shapes(config)
+    return jax.tree.map(
+        lambda leaf: jax.ShapeDtypeStruct(leaf[0], dtype),
+        shapes,
+        is_leaf=_is_shape_leaf,
+    )
+
+
 def random_params(config: WhisperConfig, seed: int = 0, dtype="bfloat16"):
     """Random-normal weights with the exact production structure."""
     import jax

@@ -217,14 +217,18 @@ def _logits(params, x):
 
 
 def init_cache(
-    params, config: WhisperConfig, xa: jax.Array, dtype=None
+    params, config: WhisperConfig, xa: jax.Array, dtype=None, ctx: int = None
 ) -> KVCache:
     """Allocate the self-attention cache and precompute cross K/V from the
-    encoder states ``xa`` (B, T, d)."""
+    encoder states ``xa`` (B, T, d).  ``ctx`` sizes the cache (defaults to
+    the model's full 448 context; generation passes a bucketed max_length
+    so short decodes don't pay full-context HBM)."""
     b, t, _ = xa.shape
     h, dh = config.n_text_head, config.n_text_state // config.n_text_head
     L = config.n_text_layer
     dtype = dtype or params["decoder"]["token_embed"].dtype
+    if ctx is None:
+        ctx = config.n_text_ctx
 
     def body(_, layer_params):
         p = layer_params["cross_attn"]
@@ -234,7 +238,6 @@ def init_cache(
 
     _, (cross_k, cross_v) = jax.lax.scan(body, None, params["decoder"]["layers"])
 
-    ctx = config.n_text_ctx
     return KVCache(
         self_k=jnp.zeros((L, b, ctx, h, dh), dtype),
         self_v=jnp.zeros((L, b, ctx, h, dh), dtype),
@@ -243,7 +246,7 @@ def init_cache(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "ctx"))
 def decoder_prefill(
     params,
     config: WhisperConfig,
@@ -251,6 +254,7 @@ def decoder_prefill(
     lengths: jax.Array,  # (B,) true prompt lengths
     xa: jax.Array,  # (B, T, d) encoder states
     gather_pos: jax.Array,  # (B, G) positions whose next-token logits to return
+    ctx: int = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder over the (padded) prompt, filling the KV cache.
 
@@ -268,12 +272,13 @@ def decoder_prefill(
     x = x.astype(dtype)
 
     # Causal over cache positions: query at i attends cache slots <= i.
-    ctx = config.n_text_ctx
+    if ctx is None:
+        ctx = config.n_text_ctx
     i = jnp.arange(s)[:, None]
     j = jnp.arange(ctx)[None, :]
     self_mask = (j <= i)[None, None]  # (1, 1, S, ctx)
 
-    cache = init_cache(params, config, xa, dtype=dtype)
+    cache = init_cache(params, config, xa, dtype=dtype, ctx=ctx)
     x, cache = _decoder_stack(params, config, x, positions, self_mask, cache)
 
     logits = _logits(params, x)  # (B, S, V) f32
@@ -297,7 +302,7 @@ def decoder_step(
     x = dec["token_embed"][token] + dec["pos_embed"][pos]
     x = x[:, None, :].astype(dtype)  # (B, 1, d)
 
-    ctx = config.n_text_ctx
+    ctx = cache.self_k.shape[2]
     j = jnp.arange(ctx)[None, None, None, :]
     self_mask = j <= pos[:, None, None, None]  # (B, 1, 1, ctx)
 

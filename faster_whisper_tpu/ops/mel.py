@@ -114,9 +114,10 @@ def log_mel_spectrogram(
     n_frames = (len(waveform) + padding) // hop_length.
     """
     n_valid = (len(waveform) + padding) // hop_length
-    n_bucketed = max(
-        bucket_frames, -(-n_valid // bucket_frames) * bucket_frames
-    )
+    # Buckets are k*bucket_frames + 1: a 30 s window is exactly 3001 frames
+    # (the pipeline drops the last one), so the +1 keeps full windows from
+    # spilling into the next bucket.
+    n_bucketed = max(1, -(-max(n_valid - 1, 1) // bucket_frames)) * bucket_frames + 1
     total_samples = n_bucketed * hop_length
     buf = np.zeros(total_samples, dtype=np.float32)
     buf[: len(waveform)] = waveform

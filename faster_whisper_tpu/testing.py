@@ -16,17 +16,22 @@ from typing import Optional
 from faster_whisper_tpu.tokenizer import _LANGUAGE_CODES
 
 
-def build_synthetic_tokenizer(n_timestamps: int = 1501):
+def build_synthetic_tokenizer(n_timestamps: int = 1501, base_vocab: int = 256):
     """Build a byte-level tokenizer with the Whisper special-token layout.
 
     Base vocabulary: the 256 GPT-2 byte symbols (so any text round-trips),
-    followed by the Whisper specials in canonical order.
+    optionally padded with unused filler entries up to ``base_vocab`` (use
+    base_vocab=50257 to reproduce the production large-v3 vocabulary size of
+    51866 — important for honest logits-matmul benchmarking), followed by
+    the Whisper specials in canonical order.
     """
     from tokenizers import AddedToken, Tokenizer, decoders, pre_tokenizers
     from tokenizers.models import BPE
 
     byte_alphabet = pre_tokenizers.ByteLevel.alphabet()
     vocab = {ch: i for i, ch in enumerate(sorted(byte_alphabet))}
+    for i in range(256, base_vocab):
+        vocab[f"<unused{i}>"] = i
 
     tok = Tokenizer(BPE(vocab, merges=[]))
     tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
@@ -50,8 +55,8 @@ def build_synthetic_tokenizer(n_timestamps: int = 1501):
     return tok
 
 
-def synthetic_vocab_size(n_timestamps: int = 1501) -> int:
-    return 256 + 2 + len(_LANGUAGE_CODES) + 6 + n_timestamps
+def synthetic_vocab_size(n_timestamps: int = 1501, base_vocab: int = 256) -> int:
+    return base_vocab + 2 + len(_LANGUAGE_CODES) + 6 + n_timestamps
 
 
 def build_test_model(seed: int = 0, dtype: str = "float32"):

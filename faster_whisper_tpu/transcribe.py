@@ -30,6 +30,7 @@ from faster_whisper_tpu.feature_extractor import FeatureExtractor
 from faster_whisper_tpu.tokenizer import _LANGUAGE_CODES, Tokenizer
 from faster_whisper_tpu.utils import (
     download_model,
+    enable_compilation_cache,
     format_timestamp,
     get_end,
     get_logger,
@@ -144,7 +145,8 @@ class WhisperModel:
     ):
         """Initializes the Whisper model.
 
-        Accepts the same arguments as the reference WhisperModel
+        enable_compilation_cache() is called so repeat runs reuse compiled
+        XLA programs.  Accepts the same arguments as the reference WhisperModel
         (reference: transcribe.py:620-722).  ``model_size_or_path`` may be a
         size name (tiny..large-v3, turbo, distil-*), a CT2-converted model
         directory (model.bin), an HF-format Whisper directory
@@ -153,6 +155,7 @@ class WhisperModel:
         int8* -> int8 weight quantization.
         """
         self.logger = get_logger()
+        enable_compilation_cache()
 
         tokenizer_bytes, preprocessor_bytes = None, None
         if files:
@@ -210,6 +213,7 @@ class WhisperModel:
         converted checkpoints) without touching the filesystem."""
         self = cls.__new__(cls)
         self.logger = get_logger()
+        enable_compilation_cache()
         self.hf_tokenizer = hf_tokenizer
 
         from faster_whisper_tpu.models.engine import WhisperEngine

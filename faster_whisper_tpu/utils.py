@@ -76,6 +76,33 @@ def get_logger():
     return logging.getLogger("faster_whisper_tpu")
 
 
+_compilation_cache_enabled = False
+
+
+def enable_compilation_cache(path: Optional[str] = None):
+    """Enable JAX's persistent compilation cache so the handful of programs
+    this library compiles (mel, VAD, encode, prefill, decode-loop per
+    bucket) survive process restarts.  Safe to call repeatedly."""
+    global _compilation_cache_enabled
+    if _compilation_cache_enabled:
+        return
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "FWT_COMPILE_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "faster_whisper_tpu", "xla"
+            ),
+        )
+    if path in ("0", "off", "disabled"):
+        return
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _compilation_cache_enabled = True
+
+
 def download_model(
     size_or_id: str,
     output_dir: Optional[str] = None,
