@@ -85,12 +85,16 @@ class FeatureExtractor:
             )
         return self._device_constants
 
-    def __call__(self, waveform: np.ndarray, padding=160, chunk_length=None):
+    def __call__(
+        self, waveform: np.ndarray, padding=160, chunk_length=None, return_device=False
+    ):
         """Compute the normalized log-mel spectrogram of ``waveform``.
 
         Matches the reference call contract (feature_extractor.py:198-230),
         including the mutable per-call ``chunk_length`` override
-        (:203-205).  Returns a float32 numpy array (n_mels, n_frames).
+        (:203-205).  Returns a float32 numpy array (n_mels, n_frames), or
+        the on-device array when ``return_device`` (the transcription
+        pipelines keep features device-resident to avoid host round-trips).
         """
         if chunk_length is not None:
             self.n_samples = chunk_length * self.sampling_rate
@@ -111,4 +115,27 @@ class FeatureExtractor:
             hop_length=self.hop_length,
             padding=padding,
         )
-        return np.asarray(out)
+        return out if return_device else np.asarray(out)
+
+    def chunk_features(self, audio: np.ndarray, starts, lengths):
+        """Per-chunk features for the batched pipeline, fully on device.
+
+        Equivalent to ``[self(audio[s:s+l])[..., :-1]`` zero-padded to the
+        30 s window ``for s, l in zip(starts, lengths)]`` (reference:
+        transcribe.py:463-467 + :514-516) with one host->device audio
+        transfer.  Returns a (N, n_mels, nb_max_frames) device array.
+        """
+        from faster_whisper_tpu.ops.mel import chunked_log_mel
+
+        mel_filters, cos_b, sin_b = self._constants()
+        return chunked_log_mel(
+            audio,
+            np.asarray(starts, np.int64),
+            np.asarray(lengths, np.int64),
+            mel_filters,
+            cos_b,
+            sin_b,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            n_frames_win=self.nb_max_frames,
+        )

@@ -114,7 +114,12 @@ def _is_shape_leaf(x):
 
 
 def random_params_device(config: WhisperConfig, seed: int = 0, dtype="bfloat16"):
-    """On-device random init — fast for large models (no host RNG loop)."""
+    """On-device random init — fast for large models (no host RNG loop).
+
+    All random leaves are carved out of ONE flat jax.random.normal buffer:
+    a single threefry op plus slices/reshapes keeps the HLO tiny, which
+    matters on backends where compilation is expensive (a per-leaf fold_in
+    program took ~8 minutes to compile through the axon relay)."""
     import jax
     import jax.numpy as jnp
 
@@ -122,26 +127,30 @@ def random_params_device(config: WhisperConfig, seed: int = 0, dtype="bfloat16")
 
     shapes = param_shapes(config)
     leaves, treedef = jax.tree.flatten(shapes, is_leaf=_is_shape_leaf)
-    key = jax.random.PRNGKey(seed)
+
+    total_w = sum(
+        int(np.prod(shape)) for shape, kind in leaves if kind == "w"
+    )
 
     @jax.jit
-    def init_leaf_batch():
+    def init(key):
+        flat = jax.random.normal(key, (total_w,), jnp.float32) * 0.02
         out = []
-        for i, (shape, kind) in enumerate(leaves):
+        off = 0
+        for shape, kind in leaves:
+            n = int(np.prod(shape))
             if kind == "w":
                 out.append(
-                    jax.random.normal(jax.random.fold_in(key, i), shape, jnp.float32)
-                    * 0.02
+                    jax.lax.dynamic_slice_in_dim(flat, off, n).reshape(shape).astype(dtype)
                 )
-            elif kind == "zero":
-                out.append(jnp.zeros(shape, jnp.float32))
+                off += n
             elif kind == "one":
-                out.append(jnp.ones(shape, jnp.float32))
-            else:  # sinusoid
-                out.append(jnp.zeros(shape, jnp.float32))
-        return [x.astype(dtype) for x in out]
+                out.append(jnp.ones(shape, dtype))
+            else:  # zero / sinusoid (overwritten below)
+                out.append(jnp.zeros(shape, dtype))
+        return out
 
-    arrs = init_leaf_batch()
+    arrs = init(jax.random.PRNGKey(seed))
     params = jax.tree.unflatten(treedef, arrs)
     params["encoder"]["pos_embed"] = jnp.asarray(
         sinusoids(config.n_audio_ctx, config.n_audio_state), dtype=dtype

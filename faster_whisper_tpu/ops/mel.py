@@ -95,6 +95,138 @@ def _log_mel_impl(
     return log_spec.T  # (n_mels, T)
 
 
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def extract_window(
+    features_padded: jax.Array,  # (n_mels, F + n_frames) zero-padded features
+    seek: jax.Array,  # scalar start frame
+    segment_size: jax.Array,  # scalar valid frames in the window
+    n_frames: int,  # window length (3000)
+) -> jax.Array:
+    """Slice one seek window out of device-resident features and zero-fill
+    past ``segment_size`` (the sequential loop's ``pad_or_trim(features[:,
+    seek:seek+segment_size])``, reference: transcribe.py:1178-1180) without
+    a host round-trip per window."""
+    n_mels = features_padded.shape[0]
+    w = jax.lax.dynamic_slice(
+        features_padded, (jnp.int32(0), seek), (n_mels, n_frames)
+    )
+    mask = jnp.arange(n_frames) < segment_size
+    return jnp.where(mask[None, :], w, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "n_frames_win", "padding")
+)
+def _chunked_mel_impl(
+    audio: jax.Array,  # (L,) full audio on device (zero-padded at the end)
+    starts: jax.Array,  # (N,) chunk start samples
+    lengths: jax.Array,  # (N,) chunk lengths in samples
+    mel_filters: jax.Array,
+    cos_basis: jax.Array,
+    sin_basis: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    n_frames_win: int,  # output frames per chunk (3000 for 30 s windows)
+    padding: int,
+):
+    """Per-chunk log-mel over fixed windows, computed fully on device.
+
+    Reproduces FeatureExtractor(chunk)[..., :-1] then zero-pad-to-window for
+    every chunk (the batched pipeline's per-chunk feature path, reference:
+    faster_whisper/transcribe.py:463-467): per-chunk zero pad of
+    ``padding`` samples, reflect-centered frames, per-chunk global-max
+    normalization over the chunk's own (length+padding)//hop frames.
+    Runs as one dispatch (lax.map over chunks) so the host never ships
+    per-chunk buffers (~30 MB/s h2d on tunneled TPUs makes that ruinous).
+    """
+    half = n_fft // 2
+    hi = jax.lax.Precision.HIGHEST
+
+    def one_chunk(args):
+        start, length = args
+        padded_len = length + padding  # chunk + zero tail
+
+        # frame t, tap k -> sample position p = t*hop - half + k, reflected
+        # into [0, padded_len) exactly like np.pad(..., mode="reflect")
+        t = jnp.arange(n_frames_win + 1, dtype=jnp.int32)[:, None]
+        k = jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+        p = t * hop_length - half + k
+        p = jnp.where(p < 0, -p, p)
+        p = jnp.where(p >= padded_len, 2 * padded_len - p - 2, p)
+        # samples in the zero-pad tail read as 0
+        sample_idx = jnp.clip(start + p, 0, audio.shape[0] - 1)
+        frames = jnp.where(p < length, audio[sample_idx], 0.0)
+
+        re = jnp.dot(frames, cos_basis, precision=hi,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, sin_basis, precision=hi,
+                     preferred_element_type=jnp.float32)
+        power = re * re + im * im
+
+        mel = jnp.dot(power, mel_filters.T, precision=hi,
+                      preferred_element_type=jnp.float32)
+        log_spec = jnp.log10(jnp.clip(mel, min=1e-10))
+
+        n_frames_chunk = padded_len // hop_length  # incl. the dropped frame
+        frame_ids = jnp.arange(n_frames_win + 1, dtype=jnp.int32)[:, None]
+        in_chunk = frame_ids < n_frames_chunk
+        global_max = jnp.max(jnp.where(in_chunk, log_spec, -jnp.inf))
+
+        log_spec = jnp.maximum(log_spec, global_max - 8.0)
+        log_spec = (log_spec + 4.0) / 4.0
+
+        # keep frames [0, n_frames_chunk-1); zero-fill the rest (pad_or_trim)
+        keep = frame_ids < jnp.maximum(n_frames_chunk - 1, 0)
+        log_spec = jnp.where(keep, log_spec, 0.0)
+        return log_spec[:n_frames_win].T  # (n_mels, n_frames_win)
+
+    return jax.lax.map(one_chunk, (starts, lengths))
+
+
+def chunked_log_mel(
+    audio: np.ndarray,
+    starts: np.ndarray,
+    lengths: np.ndarray,
+    mel_filters: jax.Array,
+    cos_basis: jax.Array,
+    sin_basis: jax.Array,
+    n_fft: int = 400,
+    hop_length: int = 160,
+    n_frames_win: int = 3000,
+    padding: int = 160,
+    bucket: int = 8,
+) -> jax.Array:
+    """(N, n_mels, n_frames_win) per-chunk features, device-resident.
+
+    The chunk count is padded to a bucket multiple so XLA compiles a small
+    number of programs; callers slice [:N].
+    """
+    n = len(starts)
+    n_pad = max(bucket, -(-n // bucket) * bucket)
+    starts_b = np.zeros(n_pad, np.int32)
+    lengths_b = np.ones(n_pad, np.int32)
+    starts_b[:n] = starts
+    lengths_b[:n] = np.minimum(lengths, n_frames_win * hop_length)
+
+    tail = n_frames_win * hop_length + n_fft
+    audio_dev = jnp.asarray(
+        np.pad(np.asarray(audio, dtype=np.float32), (0, tail))
+    )
+    out = _chunked_mel_impl(
+        audio_dev,
+        jnp.asarray(starts_b),
+        jnp.asarray(lengths_b),
+        mel_filters,
+        cos_basis,
+        sin_basis,
+        n_fft,
+        hop_length,
+        n_frames_win,
+        padding,
+    )
+    return out[:n]
+
+
 def log_mel_spectrogram(
     waveform: np.ndarray,
     mel_filters: jax.Array,

@@ -365,7 +365,9 @@ class WhisperModel:
         else:
             speech_chunks = None
 
-        features = self.feature_extractor(audio, chunk_length=chunk_length)
+        features = self.feature_extractor(
+            audio, chunk_length=chunk_length, return_device=True
+        )
 
         encoder_output = None
         all_language_probs = None
@@ -391,7 +393,7 @@ class WhisperModel:
                     language_probability,
                     all_language_probs,
                 ) = self.detect_language(
-                    features=features[..., seek:],
+                    features=np.asarray(features)[..., seek:],
                     language_detection_segments=language_detection_segments,
                     language_detection_threshold=language_detection_threshold,
                 )
@@ -592,6 +594,17 @@ class WhisperModel:
 
         from tqdm import tqdm
 
+        # Stage the features on device once; every window is a jitted
+        # dynamic-slice (no per-window host->device transfer).
+        import jax.numpy as jnp
+
+        from faster_whisper_tpu.ops.mel import extract_window
+
+        nb_max_frames = self.feature_extractor.nb_max_frames
+        features_padded = jnp.pad(
+            jnp.asarray(features), ((0, 0), (0, nb_max_frames))
+        )
+
         pbar = tqdm(total=content_duration, unit="seconds", disable=not log_progress)
         last_speech_timestamp = 0.0
 
@@ -617,9 +630,13 @@ class WhisperModel:
                 content_frames - seek,
                 seek_clip_end - seek,
             )
-            segment = features[:, seek : seek + segment_size]
             segment_duration = segment_size * self.feature_extractor.time_per_frame
-            segment = pad_or_trim(segment)
+            segment = extract_window(
+                features_padded,
+                jnp.int32(seek),
+                jnp.int32(segment_size),
+                nb_max_frames,
+            )
 
             if self.logger.isEnabledFor(logging.DEBUG):
                 self.logger.debug(
@@ -797,10 +814,10 @@ class WhisperModel:
             )
         pbar.close()
 
-    def encode(self, features: np.ndarray):
+    def encode(self, features):
         """Mel window(s) -> encoder states (reference: transcribe.py:1391-1400)."""
         if features.ndim == 2:
-            features = np.expand_dims(features, 0)
+            features = features[None]  # works for numpy and device arrays
         return self.model.encode(features)
 
     # ------------------------------------------------------------------
@@ -1503,11 +1520,21 @@ class BatchedInferencePipeline:
             format_timestamp(duration - duration_after_vad),
         )
 
-        features = (
-            [self.model.feature_extractor(chunk)[..., :-1] for chunk in audio_chunks]
-            if duration_after_vad
-            else []
-        )
+        # Per-chunk features, computed on device from a single audio upload
+        # (chunks are consecutive in the concatenated speech buffer).
+        chunk_lengths = [len(c) for c in audio_chunks]
+        if duration_after_vad:
+            base_audio = (
+                audio_chunks[0]
+                if len(audio_chunks) == 1
+                else np.concatenate(audio_chunks)
+            )
+            chunk_starts = np.concatenate([[0], np.cumsum(chunk_lengths)[:-1]])
+            features = self.model.feature_extractor.chunk_features(
+                base_audio, chunk_starts, chunk_lengths
+            )  # (N, n_mels, 3000) device array, already window-padded
+        else:
+            features = []
 
         all_language_probs = None
         if language is None:
@@ -1515,13 +1542,21 @@ class BatchedInferencePipeline:
                 language = "en"
                 language_probability = 1
             else:
+                # the reference concatenates the *unpadded* per-chunk
+                # features plus a dummy column (transcribe.py:481-490)
+                hop = self.model.feature_extractor.hop_length
+                feats_np = np.asarray(features) if len(features) else None
+                unpadded = [
+                    feats_np[i][:, : max((chunk_lengths[i] + 160) // hop - 1, 0)]
+                    for i in range(len(chunk_lengths))
+                ] if feats_np is not None else []
                 (
                     language,
                     language_probability,
                     all_language_probs,
                 ) = self.model.detect_language(
                     features=np.concatenate(
-                        features
+                        unpadded
                         + [np.full((self.model.model.n_mels, 1), -1.5, dtype="float32")],
                         axis=1,
                     ),  # dummy column so empty audio still has features
@@ -1549,10 +1584,7 @@ class BatchedInferencePipeline:
             language=language,
         )
 
-        features = (
-            np.stack([pad_or_trim(feature) for feature in features]) if features else []
-        )
-
+        # (features are already stacked and window-padded on device)
         options = TranscriptionOptions(
             beam_size=beam_size,
             best_of=best_of,
