@@ -50,7 +50,7 @@ def load_audio_13min() -> np.ndarray:
     return np.tile(base, reps)[:target]
 
 
-def build_model(model_name: str = "large-v3"):
+def build_model(model_name: str = "large-v3", compute_type: str = "default"):
     from faster_whisper_tpu.models.config import CONFIGS
     from faster_whisper_tpu.models.load import random_params_device
     from faster_whisper_tpu.testing import build_synthetic_tokenizer
@@ -62,7 +62,8 @@ def build_model(model_name: str = "large-v3"):
     assert vocab == config.n_vocab, (vocab, config.n_vocab)
     params = random_params_device(config, seed=0, dtype="bfloat16")
     return WhisperModel.from_parts(
-        params, config, tok, {"feature_size": config.n_mels}
+        params, config, tok, {"feature_size": config.n_mels},
+        compute_type=compute_type,
     )
 
 
@@ -94,13 +95,14 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     beam_size = int(os.environ.get("BENCH_BEAM", "5"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    compute_type = os.environ.get("BENCH_COMPUTE", "default")
 
     import jax
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    model = build_model(model_name)
+    model = build_model(model_name, compute_type)
     audio = load_audio_13min()
     print(f"# setup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 

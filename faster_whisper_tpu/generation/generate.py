@@ -104,36 +104,52 @@ def _gen_decoder_step(
     cross_k: jax.Array,  # (L, B, T, H, D) shared across beams
     cross_v: jax.Array,
 ):
+    """One decode step over the beam grid.
+
+    Layers run under a fori_loop with the KV cache carried whole and
+    updated via in-place dynamic_update_slice slivers: a lax.scan with the
+    cache as xs/ys restacks (i.e. fully copies) both cache tensors every
+    step, which doubles the step's HBM traffic at large model sizes.
+    """
     dec = params["decoder"]
     b, k = token.shape
     n_head = config.n_text_head
     dh = config.n_text_state // n_head
     ctx = self_k.shape[3]
+    L = self_k.shape[0]
     dtype = dec["token_embed"].dtype
 
-    x = dec["token_embed"][token] + dec["pos_embed"][pos]
-    x = x.astype(dtype)  # (B, K, d)
+    x0 = dec["token_embed"][token] + dec["pos_embed"][pos]
+    x0 = x0.astype(dtype)  # (B, K, d)
 
     b_idx = jnp.arange(b)[:, None]
     k_idx = jnp.arange(k)[None, :]
     allow = jnp.arange(ctx)[None, None, :] <= pos[:, :, None]  # (B, K, ctx)
-
-    def qkv(p, h):
-        q = _dense(h, p["wq"], p["bq"]).reshape(b, k, n_head, dh)
-        kk = _dense(h, p["wk"]).reshape(b, k, n_head, dh)
-        vv = _dense(h, p["wv"], p["bv"]).reshape(b, k, n_head, dh)
-        return q, kk, vv
-
     scale = dh ** -0.5
 
-    def body(x, scanned):
-        p, sk, sv, ck, cv = scanned
+    def take(w, i):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False), w
+        )
+
+    layers = dec["layers"]
+
+    def body(i, carry):
+        x, self_k, self_v = carry
+        p = take(layers, i)
 
         # self attention over the per-beam cache
         h = layer_norm(x, p["ln1_g"], p["ln1_b"])
-        q, k_new, v_new = qkv(p["self_attn"], h)
-        sk = sk.at[b_idx, k_idx, pos].set(k_new.astype(sk.dtype))
-        sv = sv.at[b_idx, k_idx, pos].set(v_new.astype(sv.dtype))
+        sa = p["self_attn"]
+        q = _dense(h, sa["wq"], sa["bq"]).reshape(b, k, n_head, dh)
+        k_new = _dense(h, sa["wk"]).reshape(b, k, n_head, dh)
+        v_new = _dense(h, sa["wv"], sa["bv"]).reshape(b, k, n_head, dh)
+
+        self_k = self_k.at[i, b_idx, k_idx, pos].set(k_new.astype(self_k.dtype))
+        self_v = self_v.at[i, b_idx, k_idx, pos].set(v_new.astype(self_v.dtype))
+
+        sk = jax.lax.dynamic_index_in_dim(self_k, i, axis=0, keepdims=False)
+        sv = jax.lax.dynamic_index_in_dim(self_v, i, axis=0, keepdims=False)
         scores = (
             jnp.einsum("bkhd,bkchd->bkhc", q, sk, preferred_element_type=jnp.float32)
             * scale
@@ -141,12 +157,14 @@ def _gen_decoder_step(
         scores = jnp.where(allow[:, :, None, :], scores, NEG_INF)
         w = jax.nn.softmax(scores, axis=-1).astype(sv.dtype)
         attn = jnp.einsum("bkhc,bkchd->bkhd", w, sv).reshape(b, k, -1)
-        x = x + _dense(attn, p["self_attn"]["wo"], p["self_attn"]["bo"])
+        x = x + _dense(attn, sa["wo"], sa["bo"])
 
         # cross attention: beams are independent queries over shared K/V
         h = layer_norm(x, p["ln2_g"], p["ln2_b"])
         cp = p["cross_attn"]
         qx = _dense(h, cp["wq"], cp["bq"]).reshape(b, k, n_head, dh)
+        ck = jax.lax.dynamic_index_in_dim(cross_k, i, axis=0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cross_v, i, axis=0, keepdims=False)
         scores = (
             jnp.einsum("bkhd,bthd->bkht", qx, ck, preferred_element_type=jnp.float32)
             * scale
@@ -157,11 +175,9 @@ def _gen_decoder_step(
 
         h = layer_norm(x, p["ln3_g"], p["ln3_b"])
         x = x + _mlp(p["mlp"], h)
-        return x, (sk, sv)
+        return x, self_k, self_v
 
-    x, (new_sk, new_sv) = jax.lax.scan(
-        body, x, (dec["layers"], self_k, self_v, cross_k, cross_v)
-    )
+    x, new_sk, new_sv = jax.lax.fori_loop(0, L, body, (x0, self_k, self_v))
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
     logits = jnp.dot(
         x, dec["token_embed"].T, preferred_element_type=jnp.float32

@@ -46,6 +46,10 @@ def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float = 1e-5):
 
 
 def _dense(x, w, b=None):
+    from faster_whisper_tpu.ops.quant import QuantizedLinear, int8_dense
+
+    if isinstance(w, QuantizedLinear):
+        return int8_dense(x, w, b)
     y = jnp.dot(x, w)
     if b is not None:
         y = y + b

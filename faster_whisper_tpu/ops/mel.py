@@ -33,6 +33,25 @@ def hann_window(n_fft: int) -> np.ndarray:
     return np.hanning(n_fft + 1)[:-1].astype(np.float32)
 
 
+def _frames_from_signal(full: jax.Array, n_frames: int, n_fft: int, hop: int):
+    """Overlapping (n_frames, n_fft) windows of ``full`` at stride ``hop``
+    without a gather: n_fft = 2.5 * hop, so frame t = [block t, block t+1,
+    first half of block t+2] over hop-sized blocks.  (2-D gathers of this
+    shape take minutes to compile on TPU Mosaic; slice+concat is instant.)
+    """
+    assert n_fft == hop * 2 + hop // 2, (n_fft, hop)
+    need = (n_frames + 2) * hop
+    blocks = full[:need].reshape(n_frames + 2, hop)
+    return jnp.concatenate(
+        [
+            blocks[:n_frames],
+            blocks[1 : n_frames + 1],
+            blocks[2 : n_frames + 2, : hop // 2],
+        ],
+        axis=1,
+    )
+
+
 def dft_basis(n_fft: int, window: np.ndarray):
     """Real-DFT basis with the analysis window folded in.
 
@@ -60,14 +79,10 @@ def _log_mel_impl(
     hop_length: int,
 ):
     half = n_fft // 2
-    x = jnp.pad(padded, (half, half), mode="reflect")
+    x = jnp.pad(padded, (half, half + hop_length), mode="reflect")
 
     n_frames = padded.shape[0] // hop_length  # last frame already dropped
-    idx = (
-        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
-        + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
-    )
-    frames = x[idx]  # (T, n_fft)
+    frames = _frames_from_signal(x, n_frames, n_fft, hop_length)  # (T, n_fft)
 
     # HIGHEST precision: on TPU the default f32 matmul rounds through
     # bf16 passes, which visibly perturbs the log-compressed features.
@@ -141,21 +156,23 @@ def _chunked_mel_impl(
     """
     half = n_fft // 2
     hi = jax.lax.Precision.HIGHEST
+    W = n_frames_win * hop_length + padding  # static window sample count
 
     def one_chunk(args):
         start, length = args
         padded_len = length + padding  # chunk + zero tail
 
-        # frame t, tap k -> sample position p = t*hop - half + k, reflected
-        # into [0, padded_len) exactly like np.pad(..., mode="reflect")
-        t = jnp.arange(n_frames_win + 1, dtype=jnp.int32)[:, None]
-        k = jnp.arange(n_fft, dtype=jnp.int32)[None, :]
-        p = t * hop_length - half + k
-        p = jnp.where(p < 0, -p, p)
-        p = jnp.where(p >= padded_len, 2 * padded_len - p - 2, p)
-        # samples in the zero-pad tail read as 0
-        sample_idx = jnp.clip(start + p, 0, audio.shape[0] - 1)
-        frames = jnp.where(p < length, audio[sample_idx], 0.0)
+        core = jax.lax.dynamic_slice(audio, (start,), (W,))
+        core = jnp.where(jnp.arange(W) < length, core, 0.0)
+
+        # reflect-pad exactly like np.pad(chunk+zeros, half, "reflect"):
+        # left mirror is static, right mirror sits at the runtime chunk end
+        left = jnp.flip(core[1 : half + 1])
+        rsrc = jax.lax.dynamic_slice(core, (padded_len - half - 1,), (half,))
+        full = jnp.concatenate([left, core, jnp.zeros(half, core.dtype)])
+        full = jax.lax.dynamic_update_slice(full, jnp.flip(rsrc), (half + padded_len,))
+
+        frames = _frames_from_signal(full, n_frames_win + 1, n_fft, hop_length)
 
         re = jnp.dot(frames, cos_basis, precision=hi,
                      preferred_element_type=jnp.float32)

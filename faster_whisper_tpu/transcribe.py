@@ -180,6 +180,10 @@ class WhisperModel:
         from faster_whisper_tpu.models.load import load_model
 
         params, config = load_model(model_path, dtype=dtype)
+        if compute_type.startswith("int8"):
+            from faster_whisper_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params)
 
         import tokenizers
 
@@ -208,12 +212,17 @@ class WhisperModel:
         config,
         hf_tokenizer,
         feature_extractor_kwargs: Optional[dict] = None,
+        compute_type: str = "default",
     ) -> "WhisperModel":
         """Build a WhisperModel from in-memory pieces (tests, benchmarks,
         converted checkpoints) without touching the filesystem."""
         self = cls.__new__(cls)
         self.logger = get_logger()
         enable_compilation_cache()
+        if compute_type.startswith("int8"):
+            from faster_whisper_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params)
         self.hf_tokenizer = hf_tokenizer
 
         from faster_whisper_tpu.models.engine import WhisperEngine
