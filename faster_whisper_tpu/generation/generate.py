@@ -314,14 +314,13 @@ def beam_search(
         ].set(new_tok)
         lens_new = jnp.minimum(lens_new + 1, ctx)
 
-        # Cache reorder as a one-hot contraction over the tiny K axis: XLA
-        # lowers gathers over non-minor axes of the (L,B,K,ctx,H,D) cache to
-        # a slow per-element loop (+23 ms/step measured on v5e); the K x K
-        # einsum is a dense broadcast-multiply-reduce the VPU streams at
-        # full HBM bandwidth.
-        perm = jax.nn.one_hot(parent, K, dtype=self_k.dtype)  # (B, Knew, Kold)
-        self_k_new = jnp.einsum("bkj,lbjchd->lbkchd", perm, self_k)
-        self_v_new = jnp.einsum("bkj,lbjchd->lbkchd", perm, self_v)
+        # Cache reorder via the Pallas streaming kernel (ops/reorder.py):
+        # one read + one write of the cache, vs a slow elementwise gather
+        # (take_along_axis) or a K-times-read one-hot einsum.
+        from faster_whisper_tpu.ops.reorder import reorder_cache
+
+        self_k_new = reorder_cache(self_k, parent)
+        self_v_new = reorder_cache(self_v, parent)
 
         # ---- stopping ----
         n_finished = jnp.sum(fin_scores > NEG_INF / 2, axis=1)

@@ -1,0 +1,79 @@
+"""Pallas kernel: beam-search KV-cache reorder.
+
+After each beam-search step every beam's KV cache must be re-parented:
+``new_cache[b, k] = cache[b, parent[b, k]]``.  Both obvious XLA spellings
+are bandwidth-disasters on TPU for (L, B, K, ctx, H, D) caches:
+
+  * ``take_along_axis``  -> Mosaic lowers the non-minor-axis gather to an
+    elementwise loop (+23 ms/step measured on v5e for large-v3 B=8 K=5);
+  * one-hot einsum       -> dense K x K contraction reads the cache K times.
+
+This kernel streams each (K, ctx*H*D) tile through VMEM once and writes the
+permuted rows back: 1 read + 1 write of the cache, the floor for any
+reorder.  The parent table arrives via scalar prefetch (SMEM) so row
+indices are known before the DMAs issue.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _reorder_kernel(perm_ref, in_ref, out_ref):
+    # grid: (G, B) over a (G, B, K, M) view; perm_ref: (B, K) in SMEM
+    b = pl.program_id(1)
+    k = out_ref.shape[2]
+    for i in range(k):
+        j = perm_ref[b, i]
+        out_ref[0, 0, i, :] = in_ref[0, 0, j, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def reorder_beam_cache(
+    cache: jax.Array,  # (G, B, K, ...) — G is any leading grouping (e.g. L)
+    parent: jax.Array,  # (B, K) int32 parent beam per new beam
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns cache[b, k] <- cache[b, parent[b, k]] along the K axis."""
+    g, b, k = cache.shape[:3]
+    tail = int(np.prod(cache.shape[3:]))
+    view = cache.reshape(g, b, k, tail)
+
+    out = pl.pallas_call(
+        _reorder_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g, b),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, k, tail),
+                    lambda i, j, perm: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, k, tail),
+                lambda i, j, perm: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(view.shape, view.dtype),
+        interpret=interpret,
+    )(parent.astype(jnp.int32), view)
+
+    return out.reshape(cache.shape)
+
+
+def reorder_cache(cache: jax.Array, parent: jax.Array) -> jax.Array:
+    """Platform dispatch: the Pallas kernel on TPU, a one-hot einsum
+    contraction elsewhere (CPU tests run tiny shapes where traffic is
+    irrelevant)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return reorder_beam_cache(cache, parent)
+    perm = jax.nn.one_hot(parent, cache.shape[2], dtype=cache.dtype)  # (B,K,K)
+    return jnp.einsum("bkj,gbj...->gbk...", perm, cache)

@@ -88,6 +88,18 @@ def enable_compilation_cache(path: Optional[str] = None):
         return
     import jax
 
+    # Mosaic (Pallas) kernel compilation needs the accelerator type; some
+    # tunneled TPU environments (axon relay) don't propagate it.
+    if "TPU_ACCELERATOR_TYPE" not in os.environ:
+        gen = os.environ.get("PALLAS_AXON_TPU_GEN")
+        if gen:
+            os.environ["TPU_ACCELERATOR_TYPE"] = {
+                "v4": "v4-8",
+                "v5e": "v5litepod-1",
+                "v5p": "v5p-8",
+                "v6e": "v6e-1",
+            }.get(gen, gen)
+
     if path is None:
         path = os.environ.get(
             "FWT_COMPILE_CACHE",
