@@ -28,6 +28,21 @@ import os
 import sys
 import time
 
+# Mosaic (Pallas) kernel compilation through the axon remote-compile relay
+# reads TPU_ACCELERATOR_TYPE from the env captured at process start, so it
+# must be set before the interpreter boots jax: re-exec once if missing.
+if (
+    os.environ.get("PALLAS_AXON_TPU_GEN")
+    and "TPU_ACCELERATOR_TYPE" not in os.environ
+    and os.environ.get("_FWT_REEXEC") != "1"
+):
+    gen = os.environ["PALLAS_AXON_TPU_GEN"]
+    os.environ["TPU_ACCELERATOR_TYPE"] = {
+        "v4": "v4-8", "v5e": "v5litepod-1", "v5p": "v5p-8", "v6e": "v6e-1"
+    }.get(gen, gen)
+    os.environ["_FWT_REEXEC"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import numpy as np
 
 

@@ -229,6 +229,15 @@ def _decode_audio_builtin(input_file, sampling_rate, split_stereo):
     if samples.ndim == 1:
         samples = samples[:, None]
 
+    # Mix down before resampling when mono output is requested: halves the
+    # polyphase filtering work for stereo inputs.
+    if not split_stereo:
+        samples = (
+            samples.mean(axis=1, keepdims=True)
+            if samples.shape[1] > 1
+            else samples
+        )
+
     if rate != sampling_rate:
         from math import gcd
 
@@ -244,12 +253,7 @@ def _decode_audio_builtin(input_file, sampling_rate, split_stereo):
         right = samples[:, 1] if samples.shape[1] > 1 else samples[:, 0]
         return np.ascontiguousarray(left), np.ascontiguousarray(right)
 
-    if samples.shape[1] > 1:
-        samples = samples.mean(axis=1)
-    else:
-        samples = samples[:, 0]
-
-    return np.ascontiguousarray(samples.astype(np.float32))
+    return np.ascontiguousarray(samples[:, 0].astype(np.float32))
 
 
 def _read_wav(data: bytes):

@@ -69,11 +69,25 @@ def reorder_beam_cache(
     return out.reshape(cache.shape)
 
 
+def _pallas_available() -> bool:
+    backend = jax.default_backend()
+    if backend == "tpu":
+        return True
+    if backend == "axon":
+        # The remote-compile relay only builds Mosaic kernels when
+        # TPU_ACCELERATOR_TYPE was in the env at process start
+        # (bench.py re-execs to guarantee this).
+        import os
+
+        return "TPU_ACCELERATOR_TYPE" in os.environ
+    return False
+
+
 def reorder_cache(cache: jax.Array, parent: jax.Array) -> jax.Array:
     """Platform dispatch: the Pallas kernel on TPU, a one-hot einsum
     contraction elsewhere (CPU tests run tiny shapes where traffic is
     irrelevant)."""
-    if jax.default_backend() in ("tpu", "axon"):
+    if _pallas_available():
         return reorder_beam_cache(cache, parent)
     perm = jax.nn.one_hot(parent, cache.shape[2], dtype=cache.dtype)  # (B,K,K)
     return jnp.einsum("bkj,gbj...->gbk...", perm, cache)
