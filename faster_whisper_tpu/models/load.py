@@ -413,8 +413,9 @@ _CT2_DTYPES = {
 }
 
 
-def read_ct2_variables(path: str) -> Dict[str, np.ndarray]:
-    """Parse a CTranslate2 model.bin into {name: ndarray}.
+def read_ct2_variables(path_or_bytes) -> Dict[str, np.ndarray]:
+    """Parse a CTranslate2 model.bin (path, bytes, or file-like) into
+    {name: ndarray}.
 
     Binary layout (CTranslate2 model serialization): uint32 binary_version,
     C-string spec name (uint16 length incl. NUL), uint32 spec revision,
@@ -423,8 +424,13 @@ def read_ct2_variables(path: str) -> Dict[str, np.ndarray]:
     uint32 payload byte count, raw payload.  The payload size field lets us
     validate the dtype interpretation and recover for old files.
     """
-    with open(path, "rb") as f:
-        data = f.read()
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    elif hasattr(path_or_bytes, "read"):
+        data = path_or_bytes.read()
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
 
     off = 0
 
@@ -496,8 +502,10 @@ def read_ct2_variables(path: str) -> Dict[str, np.ndarray]:
     return variables
 
 
-def load_ct2_model(model_dir: str, dtype="bfloat16"):
-    """Load a CTranslate2-converted Whisper directory (model.bin + config.json).
+def load_ct2_model(model_dir: str, dtype="bfloat16", files: Optional[dict] = None):
+    """Load a CTranslate2-converted Whisper directory (model.bin + config.json),
+    or in-memory file contents via ``files`` (name -> bytes/file-like,
+    the reference's ``files=`` loading mode, transcribe.py:662-676).
 
     CT2 fuses self-attention QKV into one linear (linear_0: (3d, d)) and
     cross-attention KV into linear_1: (2d, d); we split them back out.
@@ -507,10 +515,18 @@ def load_ct2_model(model_dir: str, dtype="bfloat16"):
     """
     import jax
 
-    with open(os.path.join(model_dir, "config.json")) as f:
-        ct2_cfg = json.load(f)
+    files = files or {}
+    if "config.json" in files:
+        blob = files["config.json"]
+        if hasattr(blob, "read"):
+            blob = blob.read()
+        ct2_cfg = json.loads(blob)
+    else:
+        with open(os.path.join(model_dir, "config.json")) as f:
+            ct2_cfg = json.load(f)
 
-    variables = read_ct2_variables(os.path.join(model_dir, "model.bin"))
+    model_bin = files.get("model.bin", os.path.join(model_dir, "model.bin"))
+    variables = read_ct2_variables(model_bin)
     variables.pop("__spec__", None)
     variables.pop("__revision__", None)
 
@@ -697,9 +713,11 @@ def load_ct2_model(model_dir: str, dtype="bfloat16"):
 
 
 def load_model(
-    model_dir: str, dtype="bfloat16"
+    model_dir: str, dtype="bfloat16", files: Optional[dict] = None
 ) -> Tuple[dict, WhisperConfig]:
-    """Load whichever checkpoint format ``model_dir`` contains."""
+    """Load whichever checkpoint format ``model_dir`` (or ``files``) holds."""
+    if files and "model.bin" in files:
+        return load_ct2_model(model_dir, dtype=dtype, files=files)
     if os.path.exists(os.path.join(model_dir, "model.bin")):
         return load_ct2_model(model_dir, dtype=dtype)
     if any(f.endswith(".safetensors") for f in os.listdir(model_dir)):

@@ -74,12 +74,16 @@ def _pallas_available() -> bool:
     if backend == "tpu":
         return True
     if backend == "axon":
-        # The remote-compile relay only builds Mosaic kernels when
-        # TPU_ACCELERATOR_TYPE was in the env at process start
-        # (bench.py re-execs to guarantee this).
+        # Mosaic compiles through the axon remote-compile relay take
+        # minutes per program (and need TPU_ACCELERATOR_TYPE in the env at
+        # process start), so the kernel is opt-in there; the einsum path
+        # is within ~1.5x of it at beam widths <= 5.
         import os
 
-        return "TPU_ACCELERATOR_TYPE" in os.environ
+        return (
+            os.environ.get("FWT_PALLAS_REORDER") == "1"
+            and "TPU_ACCELERATOR_TYPE" in os.environ
+        )
     return False
 
 

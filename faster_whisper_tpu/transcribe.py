@@ -159,12 +159,10 @@ class WhisperModel:
 
         tokenizer_bytes, preprocessor_bytes = None, None
         if files:
+            # in-memory loading (reference: transcribe.py:662-676)
             model_path = model_size_or_path
             tokenizer_bytes = files.pop("tokenizer.json", None)
             preprocessor_bytes = files.pop("preprocessor_config.json", None)
-            raise NotImplementedError(
-                "in-memory model loading (files=...) is not implemented yet"
-            )
         elif os.path.isdir(model_size_or_path):
             model_path = model_size_or_path
         else:
@@ -179,7 +177,7 @@ class WhisperModel:
         dtype = _compute_type_to_dtype(compute_type)
         from faster_whisper_tpu.models.load import load_model
 
-        params, config = load_model(model_path, dtype=dtype)
+        params, config = load_model(model_path, dtype=dtype, files=files)
         if compute_type.startswith("int8"):
             from faster_whisper_tpu.ops.quant import quantize_params
 
