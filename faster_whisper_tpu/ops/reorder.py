@@ -70,21 +70,15 @@ def reorder_beam_cache(
 
 
 def _pallas_available() -> bool:
-    backend = jax.default_backend()
-    if backend == "tpu":
-        return True
-    if backend == "axon":
-        # Mosaic compiles through the axon remote-compile relay take
-        # minutes per program (and need TPU_ACCELERATOR_TYPE in the env at
-        # process start), so the kernel is opt-in there; the einsum path
-        # is within ~1.5x of it at beam widths <= 5.
-        import os
+    # Opt-in (FWT_PALLAS_REORDER=1): on tunneled/remote-compile TPU
+    # environments Mosaic kernel compiles can take minutes or fail on
+    # missing topology env vars, and the einsum fallback is within ~1.5x
+    # at beam widths <= 5.  Direct TPU deployments should enable it.
+    import os
 
-        return (
-            os.environ.get("FWT_PALLAS_REORDER") == "1"
-            and "TPU_ACCELERATOR_TYPE" in os.environ
-        )
-    return False
+    if os.environ.get("FWT_PALLAS_REORDER") != "1":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def reorder_cache(cache: jax.Array, parent: jax.Array) -> jax.Array:
