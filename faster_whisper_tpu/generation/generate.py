@@ -314,13 +314,13 @@ def beam_search(
         ].set(new_tok)
         lens_new = jnp.minimum(lens_new + 1, ctx)
 
-        # Cache reorder via the Pallas streaming kernel (ops/reorder.py):
-        # one read + one write of the cache, vs a slow elementwise gather
-        # (take_along_axis) or a K-times-read one-hot einsum.
+        # Cache reorder (ops/reorder.py): only the written position range is
+        # touched — reorder traffic dominates beam overhead otherwise.
         from faster_whisper_tpu.ops.reorder import reorder_cache
 
-        self_k_new = reorder_cache(self_k, parent)
-        self_v_new = reorder_cache(self_v, parent)
+        filled = jnp.max(jnp.where(done, 0, jnp.max(lens_new, axis=1)))
+        self_k_new = reorder_cache(self_k, parent, filled=filled)
+        self_v_new = reorder_cache(self_v, parent, filled=filled)
 
         # ---- stopping ----
         n_finished = jnp.sum(fin_scores > NEG_INF / 2, axis=1)

@@ -81,11 +81,37 @@ def _pallas_available() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def reorder_cache(cache: jax.Array, parent: jax.Array) -> jax.Array:
-    """Platform dispatch: the Pallas kernel on TPU, a one-hot einsum
-    contraction elsewhere (CPU tests run tiny shapes where traffic is
-    irrelevant)."""
+def reorder_cache(
+    cache: jax.Array, parent: jax.Array, filled=None, chunk: int = 64
+) -> jax.Array:
+    """Reorder a (G, B, K, ctx, ...) cache along K by ``parent``.
+
+    When ``filled`` (the number of written context positions) is given, only
+    ceil(filled / chunk) position-chunks are touched, under a dynamic-trip
+    fori_loop: early decode steps reorder a fraction of the cache instead
+    of all of ctx, which matters because reorder traffic is the dominant
+    beam-search overhead (~22 ms/step at large-v3 B=8 K=5 for the full
+    cache).  Falls back to a full one-hot einsum when ``filled`` is None.
+    """
     if _pallas_available():
         return reorder_beam_cache(cache, parent)
-    perm = jax.nn.one_hot(parent, cache.shape[2], dtype=cache.dtype)  # (B,K,K)
-    return jnp.einsum("bkj,gbj...->gbk...", perm, cache)
+
+    k = cache.shape[2]
+    perm = jax.nn.one_hot(parent, k, dtype=cache.dtype)  # (B, Knew, Kold)
+
+    # precision='highest': the contraction is a 0/1 permutation — on TPU the
+    # MXU's default bf16 multiply would round the cache values themselves.
+    if filled is None:
+        return jnp.einsum("bkj,gbj...->gbk...", perm, cache, precision="highest")
+
+    ctx = cache.shape[3]
+    n_chunks = -(-ctx // chunk)
+
+    def do_chunk(i, c):
+        start = i * chunk
+        sl = jax.lax.dynamic_slice_in_dim(c, start, chunk, axis=3)
+        new = jnp.einsum("bkj,gbj...->gbk...", perm, sl, precision="highest")
+        return jax.lax.dynamic_update_slice_in_dim(c, new, start, axis=3)
+
+    n_active = jnp.minimum(-(-(filled) // chunk), n_chunks)
+    return jax.lax.fori_loop(0, n_active, do_chunk, cache)

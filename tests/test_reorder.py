@@ -37,6 +37,26 @@ def test_reorder_dispatch_fallback():
     np.testing.assert_allclose(got, _ref(cache, parent), atol=1e-6)
 
 
+def test_reorder_lazy_chunked_matches_full_on_filled_region():
+    rng = np.random.default_rng(2)
+    cache = rng.standard_normal((3, 2, 4, 32, 2)).astype(np.float32)
+    parent = rng.integers(0, 4, size=(2, 4)).astype(np.int32)
+
+    for filled in (0, 1, 7, 8, 9, 31, 32):
+        got = np.asarray(
+            reorder_cache(
+                jnp.asarray(cache), jnp.asarray(parent),
+                filled=jnp.asarray(filled), chunk=8,
+            )
+        )
+        want = _ref(cache, parent)
+        n_active = min(-(-filled // 8) * 8, 32)
+        # reordered up to the chunk boundary covering `filled`…
+        np.testing.assert_allclose(got[:, :, :, :n_active], want[:, :, :, :n_active])
+        # …and untouched beyond it
+        np.testing.assert_allclose(got[:, :, :, n_active:], cache[:, :, :, n_active:])
+
+
 def test_reorder_identity():
     cache = np.arange(2 * 2 * 3 * 4, dtype=np.float32).reshape(2, 2, 3, 4)
     parent = np.tile(np.arange(3, dtype=np.int32), (2, 1))
