@@ -8,11 +8,12 @@ host-side concern on TPU as well, so we keep the same architecture but make
 the backend pluggable so the library works in hermetic environments:
 
 1. PyAV when importable (same capability set as the reference),
-2. the ``ffmpeg`` CLI when on PATH,
-3. built-in pure-Python decoders for WAV and FLAC (see flac.py) with
-   polyphase resampling via scipy.
-
-MP3/M4A and other compressed containers require backend 1 or 2.
+2. built-in WAV/FLAC decoders (flac.py + the native C++ accelerator) with
+   polyphase resampling via scipy — hermetic, no external deps,
+3. the native libav shim (native/media_decoder.cpp, linked against the
+   system FFmpeg C libraries) for every other container/codec
+   (MP3, M4A/AAC, OGG, Opus, WebM, ...),
+4. the ``ffmpeg`` CLI when on PATH.
 """
 
 import io
@@ -47,9 +48,34 @@ def decode_audio(
     """
     if _have_pyav():
         return _decode_audio_pyav(input_file, sampling_rate, split_stereo)
+
+    if isinstance(input_file, (str, os.PathLike)):
+        with open(input_file, "rb") as f:
+            data = f.read()
+    else:
+        data = input_file.read()
+
+    # WAV/FLAC take the hermetic built-in decoders; everything else goes
+    # through the native libav shim, then the ffmpeg CLI as a last resort.
+    if data[:4] in (b"RIFF", b"fLaC"):
+        return _decode_audio_builtin(data, sampling_rate, split_stereo)
+
+    from faster_whisper_tpu.media_native import decode_media_native
+
+    audio = decode_media_native(data, sampling_rate, split_stereo)
+    if audio is not None:
+        if split_stereo:
+            return audio[0::2], audio[1::2]
+        return audio
+
     if _have_ffmpeg():
-        return _decode_audio_ffmpeg(input_file, sampling_rate, split_stereo)
-    return _decode_audio_builtin(input_file, sampling_rate, split_stereo)
+        return _decode_audio_ffmpeg(io.BytesIO(data), sampling_rate, split_stereo)
+
+    raise RuntimeError(
+        "decode_audio: the input is not WAV/FLAC and no decode backend is "
+        "available for compressed formats (native libav shim failed to "
+        "build/decode, no PyAV, no ffmpeg CLI)."
+    )
 
 
 def pad_or_trim(array, length: int = 3000, *, axis: int = -1):
@@ -205,13 +231,7 @@ def _decode_audio_ffmpeg(input_file, sampling_rate, split_stereo):
 # ---------------------------------------------------------------------------
 
 
-def _decode_audio_builtin(input_file, sampling_rate, split_stereo):
-    if isinstance(input_file, (str, os.PathLike)):
-        with open(input_file, "rb") as f:
-            data = f.read()
-    else:
-        data = input_file.read()
-
+def _decode_audio_builtin(data, sampling_rate, split_stereo):
     if data[:4] == b"RIFF":
         samples, rate = _read_wav(data)
     elif data[:4] == b"fLaC":

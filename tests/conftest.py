@@ -37,3 +37,19 @@ def stereo_wav_path(data_dir):
     if not os.path.exists(path):
         pytest.skip("stereo_diarization.wav fixture not available")
     return path
+
+
+@pytest.fixture
+def hotwords_mp3_path(data_dir):
+    path = os.path.join(data_dir, "hotwords.mp3")
+    if not os.path.exists(path):
+        pytest.skip("hotwords.mp3 fixture not available")
+    return path
+
+
+@pytest.fixture
+def multilingual_mp3_path(data_dir):
+    path = os.path.join(data_dir, "multilingual.mp3")
+    if not os.path.exists(path):
+        pytest.skip("multilingual.mp3 fixture not available")
+    return path

@@ -99,3 +99,137 @@ def test_pad_or_trim():
 
     z = pad_or_trim(np.ones((80, 4000), dtype=np.float32), 3000)
     assert z.shape == (80, 3000)
+
+
+# ---------------------------------------------------------------------------
+# Native libav backend (MP3/M4A/... via native/media_decoder.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _mpg123_decode(path):
+    """Independent ground truth: decode an MP3 with libmpg123 via ctypes.
+
+    Returns (int16 interleaved ndarray, rate, channels) or None when
+    libmpg123 is not present on the system.
+    """
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("mpg123") or "libmpg123.so.0"
+    try:
+        lib = ctypes.CDLL(name)
+    except OSError:
+        return None
+
+    lib.mpg123_init()
+    lib.mpg123_new.restype = ctypes.c_void_p
+    err = ctypes.c_int()
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    assert h
+
+    lib.mpg123_open.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    assert lib.mpg123_open(h, path.encode()) == 0
+
+    rate = ctypes.c_long()
+    ch = ctypes.c_int()
+    enc = ctypes.c_int()
+    lib.mpg123_getformat.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    assert lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(ch), ctypes.byref(enc)) == 0
+    # Lock the output format to s16 at the native rate/channels.
+    MPG123_ENC_SIGNED_16 = 0xD0
+    lib.mpg123_format_none(ctypes.c_void_p(h))
+    lib.mpg123_format.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.mpg123_format(h, rate, ch, MPG123_ENC_SIGNED_16)
+
+    lib.mpg123_read.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    buf = ctypes.create_string_buffer(1 << 16)
+    done = ctypes.c_size_t()
+    out = bytearray()
+    MPG123_OK, MPG123_DONE, MPG123_NEW_FORMAT = 0, -12, -11
+    while True:
+        rc = lib.mpg123_read(h, buf, len(buf), ctypes.byref(done))
+        out += buf.raw[: done.value]
+        if rc == MPG123_DONE:
+            break
+        if rc not in (MPG123_OK, MPG123_NEW_FORMAT):
+            break
+    lib.mpg123_close(ctypes.c_void_p(h))
+    lib.mpg123_delete(ctypes.c_void_p(h))
+    return np.frombuffer(bytes(out), dtype=np.int16), int(rate.value), int(ch.value)
+
+
+def test_decode_mp3_hotwords(hotwords_mp3_path):
+    audio = decode_audio(hotwords_mp3_path, sampling_rate=16000)
+    assert audio.dtype == np.float32
+    assert 3.0 < len(audio) / 16000 < 5.0
+    assert float(np.sqrt(np.mean(audio**2))) > 0.01
+
+
+def test_decode_mp3_multilingual_resampled(multilingual_mp3_path):
+    # MPEG-2 Layer III mono @ 24 kHz -> 16 kHz mono
+    audio = decode_audio(multilingual_mp3_path, sampling_rate=16000)
+    assert audio.dtype == np.float32
+    assert 55.0 < len(audio) / 16000 < 65.0
+    assert float(np.sqrt(np.mean(audio**2))) > 0.01
+
+
+def test_decode_mp3_filelike(hotwords_mp3_path):
+    with open(hotwords_mp3_path, "rb") as f:
+        audio = decode_audio(f, sampling_rate=16000)
+    ref = decode_audio(hotwords_mp3_path, sampling_rate=16000)
+    np.testing.assert_array_equal(audio, ref)
+
+
+def test_mp3_native_decode_matches_mpg123(hotwords_mp3_path):
+    """Cross-validate the libav-based native decoder against libmpg123 —
+    two independent MPEG Layer III implementations."""
+    truth = _mpg123_decode(hotwords_mp3_path)
+    if truth is None:
+        import pytest
+
+        pytest.skip("libmpg123 not available")
+    want, rate, ch = truth
+
+    from faster_whisper_tpu.media_native import decode_media_native
+
+    with open(hotwords_mp3_path, "rb") as f:
+        data = f.read()
+    got = decode_media_native(data, rate, ch == 2)
+    assert got is not None
+    got_i16 = np.clip(got * 32768.0, -32768, 32767)
+
+    # Decoders may differ in gapless trim by a few frames: align by
+    # cross-correlating the first seconds, then require near-identity.
+    a = got_i16[: rate * ch]
+    b = want[: rate * ch].astype(np.float32)
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    lags = range(-2304 * ch, 2304 * ch + 1, ch)
+    best_lag, best = 0, -1.0
+    for lag in lags:
+        if lag >= 0:
+            x, y = a[lag:n], b[: n - lag]
+        else:
+            x, y = a[: n + lag], b[-lag:n]
+        denom = np.linalg.norm(x) * np.linalg.norm(y)
+        if denom == 0:
+            continue
+        c = float(np.dot(x, y) / denom)
+        if c > best:
+            best, best_lag = c, lag
+    assert best > 0.99, (best, best_lag)
