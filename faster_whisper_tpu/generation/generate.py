@@ -103,6 +103,7 @@ def _gen_decoder_step(
     self_v: jax.Array,
     cross_k: jax.Array,  # (L, B, T, H, D) shared across beams
     cross_v: jax.Array,
+    anc: Optional[jax.Array] = None,  # (B, K, ctx) ancestry slot map
 ):
     """One decode step over the beam grid.
 
@@ -110,6 +111,15 @@ def _gen_decoder_step(
     updated via in-place dynamic_update_slice slivers: a lax.scan with the
     cache as xs/ys restacks (i.e. fully copies) both cache tensors every
     step, which doubles the step's HBM traffic at large model sizes.
+
+    When ``anc`` is given, beam search's cache re-parenting is virtual: the
+    K/V written at position c for the chain now owned by beam k live in
+    slot ``anc[b, k, c]``, and self-attention attends over ALL K slots with
+    an ancestry mask instead of a physically reordered cache.  The whole
+    per-batch cache is read once per step either way (the K query beams
+    share it), so this removes the reorder's full-cache read+write traffic
+    — the dominant beam-search overhead at large model sizes — for a K×
+    increase in the (tiny, MXU-bound) QK^T/PV contractions.
     """
     dec = params["decoder"]
     b, k = token.shape
@@ -125,6 +135,10 @@ def _gen_decoder_step(
     b_idx = jnp.arange(b)[:, None]
     k_idx = jnp.arange(k)[None, :]
     allow = jnp.arange(ctx)[None, None, :] <= pos[:, :, None]  # (B, K, ctx)
+    if anc is not None:
+        # (B, K, J, ctx): position c of beam k's chain lives in slot j
+        sel = anc[:, :, None, :] == jnp.arange(k)[None, None, :, None]
+        allow_j = sel & allow[:, :, None, :]
     scale = dh ** -0.5
 
     def take(w, i):
@@ -150,13 +164,28 @@ def _gen_decoder_step(
 
         sk = jax.lax.dynamic_index_in_dim(self_k, i, axis=0, keepdims=False)
         sv = jax.lax.dynamic_index_in_dim(self_v, i, axis=0, keepdims=False)
-        scores = (
-            jnp.einsum("bkhd,bkchd->bkhc", q, sk, preferred_element_type=jnp.float32)
-            * scale
-        )
-        scores = jnp.where(allow[:, :, None, :], scores, NEG_INF)
-        w = jax.nn.softmax(scores, axis=-1).astype(sv.dtype)
-        attn = jnp.einsum("bkhc,bkchd->bkhd", w, sv).reshape(b, k, -1)
+        if anc is None:
+            scores = (
+                jnp.einsum(
+                    "bkhd,bkchd->bkhc", q, sk, preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+            scores = jnp.where(allow[:, :, None, :], scores, NEG_INF)
+            w = jax.nn.softmax(scores, axis=-1).astype(sv.dtype)
+            attn = jnp.einsum("bkhc,bkchd->bkhd", w, sv).reshape(b, k, -1)
+        else:
+            scores = (
+                jnp.einsum(
+                    "bkhd,bjchd->bkhjc", q, sk, preferred_element_type=jnp.float32
+                )
+                * scale
+            )  # (B, K, H, J, ctx)
+            scores = jnp.where(allow_j[:, :, None, :, :], scores, NEG_INF)
+            w = jax.nn.softmax(
+                scores.reshape(b, k, n_head, k * ctx), axis=-1
+            ).reshape(b, k, n_head, k, ctx).astype(sv.dtype)
+            attn = jnp.einsum("bkhjc,bjchd->bkhd", w, sv).reshape(b, k, -1)
         x = x + _dense(attn, sa["wo"], sa["bo"])
 
         # cross attention: beams are independent queries over shared K/V
@@ -236,6 +265,12 @@ def beam_search(
     )
     cross_k, cross_v = cache0.cross_k, cache0.cross_v
 
+    # Ancestry slot map: anc[b, k, c] = beam slot holding the K/V written at
+    # position c for the chain currently owned by beam k.  Re-parenting
+    # permutes this (B, K, ctx) int32 table instead of the (L, B, K, ctx, H,
+    # D) cache itself — the physical cache is append-only per slot.
+    anc = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None], (b, K, ctx))
+
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
     fin_tokens = jnp.zeros((b, F, ctx), jnp.int32)
@@ -245,12 +280,12 @@ def beam_search(
     b_idx = jnp.arange(b)[:, None]
 
     def cond(state):
-        (tokens, lens, sum_lp, self_k, self_v, cur_logits,
+        (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
          fin_tokens, fin_lens, fin_scores, done) = state
         return jnp.any(~done)
 
     def body(state):
-        (tokens, lens, sum_lp, self_k, self_v, cur_logits,
+        (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
          fin_tokens, fin_lens, fin_scores, done) = state
 
         flat_begin = jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(b * K)
@@ -309,48 +344,47 @@ def beam_search(
         tokens_new = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
         lens_new = jnp.take_along_axis(lens, parent, axis=1)
         write_pos = jnp.clip(lens_new, 0, ctx - 1)
-        tokens_new = tokens_new.at[
-            b_idx, jnp.arange(K)[None, :], write_pos
-        ].set(new_tok)
+        k_arange = jnp.arange(K)[None, :]
+        tokens_new = tokens_new.at[b_idx, k_arange, write_pos].set(new_tok)
         lens_new = jnp.minimum(lens_new + 1, ctx)
 
-        # Cache reorder (ops/reorder.py): only the written position range is
-        # touched — reorder traffic dominates beam overhead otherwise.
-        from faster_whisper_tpu.ops.reorder import reorder_cache
-
-        filled = jnp.max(jnp.where(done, 0, jnp.max(lens_new, axis=1)))
-        self_k_new = reorder_cache(self_k, parent, filled=filled)
-        self_v_new = reorder_cache(self_v, parent, filled=filled)
+        # Virtual cache re-parenting: permute only the (B, K, ctx) ancestry
+        # table; the new token's K/V will be written to this beam's own
+        # slot by the decoder step below.
+        anc_new = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+        anc_new = anc_new.at[b_idx, k_arange, write_pos].set(
+            jnp.broadcast_to(k_arange, (b, K))
+        )
 
         # ---- stopping ----
         n_finished = jnp.sum(fin_scores > NEG_INF / 2, axis=1)
         hit_cap = jnp.max(lens_new, axis=1) >= jnp.minimum(max_length, ctx)
         done_new = done | (n_finished >= F) | hit_cap
 
-        # frozen rows keep their previous state
+        # frozen rows keep their previous state (caches and ancestry need no
+        # freeze: slots are append-only and done rows' outputs are already
+        # snapshotted in the finished pools)
         tokens_new = jnp.where(done[:, None, None], tokens, tokens_new)
         lens_new = jnp.where(done[:, None], lens, lens_new)
         new_cum = jnp.where(done[:, None], sum_lp, new_cum)
-        self_k_new = jnp.where(done[None, :, None, None, None, None], self_k, self_k_new)
-        self_v_new = jnp.where(done[None, :, None, None, None, None], self_v, self_v_new)
 
         # ---- next decoder step (frozen rows run a harmless dummy token) ----
         step_pos = jnp.clip(lens_new - 1, 0, ctx - 1)
         next_logits, self_k_new, self_v_new = _gen_decoder_step(
             params, config, jnp.where(done[:, None], 0, new_tok), step_pos,
-            self_k_new, self_v_new, cross_k, cross_v,
+            self_k, self_v, cross_k, cross_v, anc=anc_new,
         )
 
         return (
-            tokens_new, lens_new, new_cum, self_k_new, self_v_new, next_logits,
-            fin_tokens, fin_lens, fin_scores, done_new,
+            tokens_new, lens_new, new_cum, self_k_new, self_v_new, anc_new,
+            next_logits, fin_tokens, fin_lens, fin_scores, done_new,
         )
 
     state = (
-        tokens, lens, sum_lp, self_k, self_v, cur_logits,
+        tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
         fin_tokens, fin_lens, fin_scores, jnp.zeros((b,), bool),
     )
-    (tokens, lens, sum_lp, self_k, self_v, cur_logits,
+    (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
      fin_tokens, fin_lens, fin_scores, done) = jax.lax.while_loop(
         cond, body, state
     )
