@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from faster_whisper_tpu.models.config import WhisperConfig
-from faster_whisper_tpu.ops.attention import mha
+from faster_whisper_tpu.ops.attention import mha, mha_full
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +96,7 @@ def sinusoids(length: int, channels: int) -> np.ndarray:
 def _encoder_layer(x, p, n_head):
     h = layer_norm(x, p["ln1_g"], p["ln1_b"])
     q, k, v = _attn_qkv(p["attn"], h, n_head)
-    x = x + _dense(_merge_heads(mha(q, k, v)), p["attn"]["wo"], p["attn"]["bo"])
+    x = x + _dense(_merge_heads(mha_full(q, k, v)), p["attn"]["wo"], p["attn"]["bo"])
     h = layer_norm(x, p["ln2_g"], p["ln2_b"])
     x = x + _mlp(p["mlp"], h)
     return x

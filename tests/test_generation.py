@@ -279,3 +279,17 @@ def test_batched_prompts(tiny_model):
     assert len(res) == 3
     # different audio -> (almost surely) different sequences
     assert len({tuple(r.sequences_ids[0]) for r in res}) > 1
+
+
+def test_mha_full_matches_mha():
+    """mha_full is the encoder's attention entry; off-TPU it must be the
+    plain path bit-for-bit."""
+    import numpy as np
+    import jax.numpy as jnp
+    from faster_whisper_tpu.ops.attention import mha, mha_full
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 64, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 64, 4, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 64, 4, 16)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(mha_full(q, k, v)), np.asarray(mha(q, k, v)))
