@@ -158,7 +158,10 @@ def _vad_forward(weights: dict, windows: jax.Array) -> jax.Array:
         return (h, c), h
 
     init = (jnp.zeros(128, jnp.float32), jnp.zeros(128, jnp.float32))
-    _, hs = jax.lax.scan(step, init, x_gates)  # (N, 128)
+    # unroll: each scan step is a tiny 128-wide recurrence, so per-step
+    # loop overhead dominates on TPU; unrolling amortizes it ~8x over the
+    # ~31 windows/s of audio.
+    _, hs = jax.lax.scan(step, init, x_gates, unroll=8)  # (N, 128)
 
     hs = jax.nn.relu(hs)
     probs = jax.nn.sigmoid(hs @ weights["out_w"].T + weights["out_b"])  # (N, 1)

@@ -1,5 +1,11 @@
 """Pallas kernel: beam-search KV-cache reorder.
 
+NOTE: the production beam search (generation/generate.py) no longer
+physically reorders the cache at all — it carries a (B, K, ctx) ancestry
+table and masks attention across beam slots, which removes this traffic
+entirely.  This op remains for engines that need a physical reorder
+(e.g. exporting a compacted cache) and as a tested reference kernel.
+
 After each beam-search step every beam's KV cache must be re-parented:
 ``new_cache[b, k] = cache[b, parent[b, k]]``.  Both obvious XLA spellings
 are bandwidth-disasters on TPU for (L, B, K, ctx, H, D) caches:
