@@ -38,6 +38,7 @@ from faster_whisper_tpu.generation.processors import (
     TokenMeta,
     apply_logits_rules,
 )
+from faster_whisper_tpu.ops.quant import QuantKV, quantize_kv
 from faster_whisper_tpu.models.config import WhisperConfig
 from faster_whisper_tpu.models.model import (
     KVCache,
@@ -68,6 +69,10 @@ class GenOptions:
     # the KV cache by the actual decode budget instead of the model's full
     # 448 context cuts the dominant HBM allocation proportionally.
     ctx_cap: int = 448
+    # int8 K/V caches (self + cross) with per-(position, head) scales:
+    # halves the decode loop's dominant HBM term.  Enabled for int8
+    # compute types (the user already opted into quantization).
+    kv_int8: bool = False
 
 
 class WhisperGenerationResult:
@@ -125,8 +130,9 @@ def _gen_decoder_step(
     b, k = token.shape
     n_head = config.n_text_head
     dh = config.n_text_state // n_head
-    ctx = self_k.shape[3]
-    L = self_k.shape[0]
+    quant = isinstance(self_k, QuantKV)
+    ctx = (self_k.q if quant else self_k).shape[3]
+    L = (self_k.q if quant else self_k).shape[0]
     dtype = dec["token_embed"].dtype
 
     x0 = dec["token_embed"][token] + dec["pos_embed"][pos]
@@ -159,11 +165,28 @@ def _gen_decoder_step(
         k_new = _dense(h, sa["wk"]).reshape(b, k, n_head, dh)
         v_new = _dense(h, sa["wv"], sa["bv"]).reshape(b, k, n_head, dh)
 
-        self_k = self_k.at[i, b_idx, k_idx, pos].set(k_new.astype(self_k.dtype))
-        self_v = self_v.at[i, b_idx, k_idx, pos].set(v_new.astype(self_v.dtype))
+        if quant:
+            kq, vq = quantize_kv(k_new), quantize_kv(v_new)
+            self_k = QuantKV(
+                self_k.q.at[i, b_idx, k_idx, pos].set(kq.q),
+                self_k.s.at[i, b_idx, k_idx, pos].set(kq.s),
+            )
+            self_v = QuantKV(
+                self_v.q.at[i, b_idx, k_idx, pos].set(vq.q),
+                self_v.s.at[i, b_idx, k_idx, pos].set(vq.s),
+            )
+            sk = jax.lax.dynamic_index_in_dim(self_k.q, i, 0, keepdims=False)
+            sv = jax.lax.dynamic_index_in_dim(self_v.q, i, 0, keepdims=False)
+            sks = jax.lax.dynamic_index_in_dim(self_k.s, i, 0, keepdims=False)
+            svs = jax.lax.dynamic_index_in_dim(self_v.s, i, 0, keepdims=False)
+            sk, sv = sk.astype(dtype), sv.astype(dtype)
+        else:
+            self_k = self_k.at[i, b_idx, k_idx, pos].set(k_new.astype(self_k.dtype))
+            self_v = self_v.at[i, b_idx, k_idx, pos].set(v_new.astype(self_v.dtype))
+            sk = jax.lax.dynamic_index_in_dim(self_k, i, axis=0, keepdims=False)
+            sv = jax.lax.dynamic_index_in_dim(self_v, i, axis=0, keepdims=False)
+            sks = svs = None
 
-        sk = jax.lax.dynamic_index_in_dim(self_k, i, axis=0, keepdims=False)
-        sv = jax.lax.dynamic_index_in_dim(self_v, i, axis=0, keepdims=False)
         if anc is None:
             scores = (
                 jnp.einsum(
@@ -171,8 +194,14 @@ def _gen_decoder_step(
                 )
                 * scale
             )
+            if quant:  # undo K's per-(position, head) scale: (B,K,ctx,H)
+                scores = scores * sks.transpose(0, 1, 3, 2)
             scores = jnp.where(allow[:, :, None, :], scores, NEG_INF)
-            w = jax.nn.softmax(scores, axis=-1).astype(sv.dtype)
+            w = jax.nn.softmax(scores, axis=-1)
+            if quant:
+                w = (w * svs.transpose(0, 1, 3, 2)).astype(dtype)
+            else:
+                w = w.astype(sv.dtype)
             attn = jnp.einsum("bkhc,bkchd->bkhd", w, sv).reshape(b, k, -1)
         else:
             scores = (
@@ -181,10 +210,16 @@ def _gen_decoder_step(
                 )
                 * scale
             )  # (B, K, H, J, ctx)
+            if quant:  # sks: (B, J, ctx, H) -> (B, 1, H, J, ctx)
+                scores = scores * sks.transpose(0, 3, 1, 2)[:, None]
             scores = jnp.where(allow_j[:, :, None, :, :], scores, NEG_INF)
             w = jax.nn.softmax(
                 scores.reshape(b, k, n_head, k * ctx), axis=-1
-            ).reshape(b, k, n_head, k, ctx).astype(sv.dtype)
+            ).reshape(b, k, n_head, k, ctx)
+            if quant:
+                w = (w * svs.transpose(0, 3, 1, 2)[:, None]).astype(dtype)
+            else:
+                w = w.astype(sv.dtype)
             attn = jnp.einsum("bkhjc,bjchd->bkhd", w, sv).reshape(b, k, -1)
         x = x + _dense(attn, sa["wo"], sa["bo"])
 
@@ -192,13 +227,26 @@ def _gen_decoder_step(
         h = layer_norm(x, p["ln2_g"], p["ln2_b"])
         cp = p["cross_attn"]
         qx = _dense(h, cp["wq"], cp["bq"]).reshape(b, k, n_head, dh)
-        ck = jax.lax.dynamic_index_in_dim(cross_k, i, axis=0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cross_v, i, axis=0, keepdims=False)
+        if quant:
+            ck = jax.lax.dynamic_index_in_dim(cross_k.q, i, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cross_v.q, i, 0, keepdims=False)
+            cks = jax.lax.dynamic_index_in_dim(cross_k.s, i, 0, keepdims=False)
+            cvs = jax.lax.dynamic_index_in_dim(cross_v.s, i, 0, keepdims=False)
+            ck, cv = ck.astype(dtype), cv.astype(dtype)
+        else:
+            ck = jax.lax.dynamic_index_in_dim(cross_k, i, axis=0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cross_v, i, axis=0, keepdims=False)
         scores = (
             jnp.einsum("bkhd,bthd->bkht", qx, ck, preferred_element_type=jnp.float32)
             * scale
         )
-        w = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
+        if quant:  # cks: (B, T, H) -> (B, 1, H, T)
+            scores = scores * cks.transpose(0, 2, 1)[:, None]
+        w = jax.nn.softmax(scores, axis=-1)
+        if quant:
+            w = (w * cvs.transpose(0, 2, 1)[:, None]).astype(dtype)
+        else:
+            w = w.astype(cv.dtype)
         attn = jnp.einsum("bkht,bthd->bkhd", w, cv).reshape(b, k, -1)
         x = x + _dense(attn, cp["wo"], cp["bo"])
 
@@ -212,6 +260,26 @@ def _gen_decoder_step(
         x, dec["token_embed"].T, preferred_element_type=jnp.float32
     )  # (B, K, V)
     return logits, new_sk, new_sv
+
+
+def _expand_caches(cache0, K: int, kv_int8: bool):
+    """Broadcast the prefill cache to the (B, K) beam grid, optionally
+    quantizing both the self and cross K/V to int8 (the decode loop's
+    dominant HBM read is these caches; int8 halves it)."""
+
+    def bcast(a):  # (L, B, ...) -> (L, B, K, ...)
+        return jnp.broadcast_to(a[:, :, None], a.shape[:2] + (K,) + a.shape[2:])
+
+    if kv_int8:
+        skq, svq = quantize_kv(cache0.self_k), quantize_kv(cache0.self_v)
+        self_k = QuantKV(bcast(skq.q), bcast(skq.s))
+        self_v = QuantKV(bcast(svq.q), bcast(svq.s))
+        cross_k = QuantKV(*quantize_kv(cache0.cross_k))
+        cross_v = QuantKV(*quantize_kv(cache0.cross_v))
+    else:
+        self_k, self_v = bcast(cache0.self_k), bcast(cache0.self_v)
+        cross_k, cross_v = cache0.cross_k, cache0.cross_v
+    return self_k, self_v, cross_k, cross_v
 
 
 # ---------------------------------------------------------------------------
@@ -257,13 +325,7 @@ def beam_search(
         jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
     ) * jnp.ones((b, 1), jnp.float32)
 
-    self_k = jnp.broadcast_to(
-        cache0.self_k[:, :, None], (cache0.self_k.shape[0], b, K) + cache0.self_k.shape[2:]
-    )
-    self_v = jnp.broadcast_to(
-        cache0.self_v[:, :, None], (cache0.self_v.shape[0], b, K) + cache0.self_v.shape[2:]
-    )
-    cross_k, cross_v = cache0.cross_k, cache0.cross_v
+    self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
 
     # Ancestry slot map: anc[b, k, c] = beam slot holding the K/V written at
     # position c for the chain currently owned by beam k.  Re-parenting
@@ -450,15 +512,7 @@ def sample(
     sum_lp = jnp.zeros((b, K), jnp.float32)
     finished = jnp.zeros((b, K), bool)
 
-    self_k = jnp.broadcast_to(
-        cache0.self_k[:, :, None],
-        (cache0.self_k.shape[0], b, K) + cache0.self_k.shape[2:],
-    )
-    self_v = jnp.broadcast_to(
-        cache0.self_v[:, :, None],
-        (cache0.self_v.shape[0], b, K) + cache0.self_v.shape[2:],
-    )
-    cross_k, cross_v = cache0.cross_k, cache0.cross_v
+    self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
     b_idx = jnp.arange(b)[:, None]
@@ -559,6 +613,7 @@ def generate(
     num_hypotheses: int = 1,
     with_timestamps: bool = True,
     rng_seed: int = 0,
+    kv_int8: bool = False,
 ) -> List[WhisperGenerationResult]:
     """Batched generation mirroring the CT2 call signature the reference
     uses (transcribe.py:222-236, :1446-1459)."""
@@ -598,6 +653,7 @@ def generate(
             sampling_temperature=sampling_temperature,
             sampling_topk=sampling_topk,
             ctx_cap=ctx_cap,
+            kv_int8=kv_int8,
         )
         tokens, lens, sum_lp, finished, nsp = sample(
             params,
@@ -636,6 +692,7 @@ def generate(
             length_penalty=length_penalty,
             sampling=False,
             ctx_cap=ctx_cap,
+            kv_int8=kv_int8,
         )
         (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score,
          nsp, _pl) = beam_search(

@@ -199,13 +199,16 @@ class WhisperEngine:
         config: WhisperConfig,
         hf_tokenizer=None,
         token_ids: Optional[dict] = None,
+        kv_int8: bool = False,
     ):
         """``token_ids`` may pre-specify the special ids; otherwise they are
-        resolved from ``hf_tokenizer``."""
+        resolved from ``hf_tokenizer``.  ``kv_int8`` quantizes the decode
+        loop's K/V caches (set for int8 compute types)."""
         self.params = params
         self.config = config
         self.device = "tpu"
         self.device_index = 0
+        self.kv_int8 = kv_int8
 
         if token_ids is None:
             token_ids = resolve_token_ids(hf_tokenizer)
@@ -288,6 +291,7 @@ class WhisperEngine:
             sampling_topk=sampling_topk,
             num_hypotheses=num_hypotheses,
             with_timestamps=with_timestamps,
+            kv_int8=self.kv_int8,
         )
 
     # -- language detection (transcribe.py:1823, :1193) ------------------

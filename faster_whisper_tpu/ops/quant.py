@@ -105,3 +105,31 @@ def quantize_params(params: dict) -> dict:
     out["decoder"] = dict(params["decoder"])
     out["decoder"]["layers"] = dec_layers
     return out
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (decode loop)
+# ---------------------------------------------------------------------------
+
+
+class QuantKV(NamedTuple):
+    """An int8 K or V cache with per-(position, head) symmetric scales.
+
+    q: (..., H, D) int8, s: (..., H) f32 — storing the cache at half the
+    bytes halves the decode loop's dominant HBM read (the per-step
+    self/cross cache sweeps).  The int8->bf16 upcast happens inside the
+    attention matmul's operand read (fused by XLA), so no dequantized
+    copy is ever materialized.
+    """
+
+    q: jax.Array
+    s: jax.Array
+
+
+def quantize_kv(x: jax.Array) -> QuantKV:
+    """Quantize a (..., H, D) K/V tensor over the head dim D."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.maximum(amax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return QuantKV(q=q, s=s)

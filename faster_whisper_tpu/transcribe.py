@@ -197,7 +197,10 @@ class WhisperModel:
 
         from faster_whisper_tpu.models.engine import WhisperEngine
 
-        self.model = WhisperEngine(params, config, self.hf_tokenizer)
+        self.model = WhisperEngine(
+            params, config, self.hf_tokenizer,
+            kv_int8=compute_type.startswith("int8"),
+        )
 
         self.feat_kwargs = self._get_feature_kwargs(model_path, preprocessor_bytes)
         self.feature_extractor = FeatureExtractor(**self.feat_kwargs)
@@ -225,7 +228,10 @@ class WhisperModel:
 
         from faster_whisper_tpu.models.engine import WhisperEngine
 
-        self.model = WhisperEngine(params, config, hf_tokenizer)
+        self.model = WhisperEngine(
+            params, config, hf_tokenizer,
+            kv_int8=compute_type.startswith("int8"),
+        )
         kwargs = dict(feature_extractor_kwargs or {})
         kwargs.setdefault("feature_size", config.n_mels)
         self.feat_kwargs = kwargs

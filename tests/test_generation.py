@@ -293,3 +293,39 @@ def test_mha_full_matches_mha():
     k = jnp.asarray(rng.standard_normal((2, 64, 4, 16)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((2, 64, 4, 16)), jnp.float32)
     np.testing.assert_array_equal(np.asarray(mha_full(q, k, v)), np.asarray(mha(q, k, v)))
+
+
+def test_beam_search_kv_int8_close_to_bf16(tiny_model):
+    """int8 K/V caches must reproduce the bf16 decode on a tiny model:
+    identical no_speech_prob (computed pre-quantization) and the same or
+    near-identical top sequence."""
+    from faster_whisper_tpu.generation.generate import generate
+
+    cfg, params, tok, meta, xa = tiny_model
+    kwargs = dict(
+        sot_id=tok.sot, beam_size=2, max_length=24, with_timestamps=True,
+        max_initial_timestamp_index=50,
+    )
+    ref = generate(params, cfg, meta, xa, [tok.sot_sequence], **kwargs)[0]
+    q = generate(params, cfg, meta, xa, [tok.sot_sequence], kv_int8=True, **kwargs)[0]
+
+    assert abs(ref.no_speech_prob - q.no_speech_prob) < 1e-6
+    assert len(q.sequences_ids) >= 1
+    _check_timestamp_grammar(q.sequences_ids[0], meta)
+    # same first sampled token and a close score for the winner
+    assert q.sequences_ids[0][0] == ref.sequences_ids[0][0]
+    assert abs(q.scores[0] - ref.scores[0]) < 0.35
+
+
+def test_sampling_kv_int8_runs(tiny_model):
+    from faster_whisper_tpu.generation.generate import generate
+
+    cfg, params, tok, meta, xa = tiny_model
+    res = generate(
+        params, cfg, meta, xa, [tok.sot_sequence], sot_id=tok.sot,
+        beam_size=1, sampling_temperature=0.8, sampling_topk=0,
+        num_hypotheses=2, max_length=24, with_timestamps=True, rng_seed=7,
+        kv_int8=True,
+    )[0]
+    assert len(res.sequences_ids) == 2
+    assert 0.0 <= res.no_speech_prob <= 1.0
