@@ -26,7 +26,7 @@ Layout decisions (TPU-first):
 import functools
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -617,6 +617,76 @@ def generate(
 ) -> List[WhisperGenerationResult]:
     """Batched generation mirroring the CT2 call signature the reference
     uses (transcribe.py:222-236, :1446-1459)."""
+    return generate_collect(
+        generate_dispatch(
+            params,
+            config,
+            meta,
+            encoder_output,
+            prompts,
+            sot_id=sot_id,
+            beam_size=beam_size,
+            patience=patience,
+            length_penalty=length_penalty,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size,
+            max_length=max_length,
+            return_scores=return_scores,
+            return_no_speech_prob=return_no_speech_prob,
+            suppress_blank=suppress_blank,
+            suppress_tokens=suppress_tokens,
+            max_initial_timestamp_index=max_initial_timestamp_index,
+            sampling_temperature=sampling_temperature,
+            sampling_topk=sampling_topk,
+            num_hypotheses=num_hypotheses,
+            with_timestamps=with_timestamps,
+            rng_seed=rng_seed,
+            kv_int8=kv_int8,
+        )
+    )
+
+
+class PendingGeneration(NamedTuple):
+    """An in-flight generation: device arrays still attached to the XLA
+    stream plus the host-side metadata needed to unpack them.  Splitting
+    dispatch from collect lets callers enqueue the next batch's encode +
+    decode while the host unpacks this one (the device never idles
+    between batches)."""
+
+    kind: str  # "sample" | "beam"
+    arrays: tuple  # device arrays, fetched lazily by generate_collect
+    prompt_lens: np.ndarray
+    length_penalty: float
+
+
+def generate_dispatch(
+    params,
+    config: WhisperConfig,
+    meta: TokenMeta,
+    encoder_output: jax.Array,
+    prompts: Sequence[Sequence[int]],
+    *,
+    sot_id: int,
+    beam_size: int = 5,
+    patience: float = 1.0,
+    length_penalty: float = 1.0,
+    repetition_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
+    max_length: int = 448,
+    return_scores: bool = False,
+    return_no_speech_prob: bool = False,
+    suppress_blank: bool = True,
+    suppress_tokens: Optional[Sequence[int]] = (),
+    max_initial_timestamp_index: int = 50,
+    sampling_temperature: float = 1.0,
+    sampling_topk: int = 1,
+    num_hypotheses: int = 1,
+    with_timestamps: bool = True,
+    rng_seed: int = 0,
+    kv_int8: bool = False,
+) -> PendingGeneration:
+    """Enqueue a generation on the device and return immediately (JAX
+    async dispatch); ``generate_collect`` blocks and unpacks."""
     b = len(prompts)
     assert encoder_output.shape[0] == b
 
@@ -642,7 +712,6 @@ def generate(
     ctx_cap = min(448, _bucket(max(max_length, P + 1), step=64, cap=448))
 
     is_sampling = sampling_temperature > 0 and beam_size == 1
-    results: List[WhisperGenerationResult] = []
 
     if is_sampling:
         gen_opts = GenOptions(
@@ -655,7 +724,7 @@ def generate(
             ctx_cap=ctx_cap,
             kv_int8=kv_int8,
         )
-        tokens, lens, sum_lp, finished, nsp = sample(
+        arrays = sample(
             params,
             config,
             gen_opts,
@@ -668,9 +737,40 @@ def generate(
             jnp.asarray(max_length, dtype=jnp.int32),
             jax.random.PRNGKey(rng_seed),
         )
-        tokens, lens, sum_lp, finished, nsp = jax.device_get(
-            (tokens, lens, sum_lp, finished, nsp)
-        )
+        return PendingGeneration("sample", arrays, prompt_lens, length_penalty)
+
+    gen_opts = GenOptions(
+        beam_size=beam_size,
+        num_finished=max(1, round(beam_size * patience)),
+        length_penalty=length_penalty,
+        sampling=False,
+        ctx_cap=ctx_cap,
+        kv_int8=kv_int8,
+    )
+    arrays = beam_search(
+        params,
+        config,
+        gen_opts,
+        proc_opts,
+        meta,
+        encoder_output,
+        jnp.asarray(prompt_arr),
+        jnp.asarray(prompt_lens),
+        jnp.asarray(sot_pos),
+        jnp.asarray(max_length, dtype=jnp.int32),
+    )
+    return PendingGeneration("beam", arrays, prompt_lens, length_penalty)
+
+
+def generate_collect(pending: PendingGeneration) -> List[WhisperGenerationResult]:
+    """Block on an in-flight generation and unpack the results."""
+    prompt_lens = pending.prompt_lens
+    length_penalty = pending.length_penalty
+    b = len(prompt_lens)
+    results: List[WhisperGenerationResult] = []
+
+    if pending.kind == "sample":
+        tokens, lens, sum_lp, finished, nsp = jax.device_get(pending.arrays)
         for i in range(b):
             gen_lens = lens[i] - prompt_lens[i]
             scores = sum_lp[i] / np.maximum(gen_lens, 1) ** length_penalty
@@ -686,31 +786,8 @@ def generate(
                 )
             )
     else:
-        gen_opts = GenOptions(
-            beam_size=beam_size,
-            num_finished=max(1, round(beam_size * patience)),
-            length_penalty=length_penalty,
-            sampling=False,
-            ctx_cap=ctx_cap,
-            kv_int8=kv_int8,
-        )
         (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score,
-         nsp, _pl) = beam_search(
-            params,
-            config,
-            gen_opts,
-            proc_opts,
-            meta,
-            encoder_output,
-            jnp.asarray(prompt_arr),
-            jnp.asarray(prompt_lens),
-            jnp.asarray(sot_pos),
-            jnp.asarray(max_length, dtype=jnp.int32),
-        )
-        (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score,
-         nsp) = jax.device_get(
-            (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score, nsp)
-        )
+         nsp, _pl) = jax.device_get(pending.arrays)
         for i in range(b):
             have = fin_scores[i] > -1e29
             if have.any():

@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from faster_whisper_tpu.generation.generate import WhisperGenerationResult, generate
+from faster_whisper_tpu.generation.generate import (
+    WhisperGenerationResult,
+    generate,
+    generate_collect,
+    generate_dispatch,
+)
 from faster_whisper_tpu.generation.processors import TokenMeta
 from faster_whisper_tpu.models import model as M
 from faster_whisper_tpu.models.config import WhisperConfig
@@ -265,11 +270,56 @@ class WhisperEngine:
         sampling_temperature: float = 1.0,
         sampling_topk: int = 1,
     ) -> List[WhisperGenerationResult]:
+        return generate_collect(
+            self.generate_dispatch(
+                encoder_output,
+                prompts,
+                beam_size=beam_size,
+                patience=patience,
+                num_hypotheses=num_hypotheses,
+                length_penalty=length_penalty,
+                repetition_penalty=repetition_penalty,
+                no_repeat_ngram_size=no_repeat_ngram_size,
+                max_length=max_length,
+                return_scores=return_scores,
+                return_no_speech_prob=return_no_speech_prob,
+                suppress_blank=suppress_blank,
+                suppress_tokens=suppress_tokens,
+                max_initial_timestamp_index=max_initial_timestamp_index,
+                sampling_temperature=sampling_temperature,
+                sampling_topk=sampling_topk,
+            )
+        )
+
+    def generate_dispatch(
+        self,
+        encoder_output: jax.Array,
+        prompts: Sequence[Sequence[int]],
+        *,
+        beam_size: int = 5,
+        patience: float = 1.0,
+        num_hypotheses: int = 1,
+        length_penalty: float = 1.0,
+        repetition_penalty: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        max_length: int = 448,
+        return_scores: bool = False,
+        return_no_speech_prob: bool = False,
+        suppress_blank: bool = True,
+        suppress_tokens: Optional[Sequence[int]] = (),
+        max_initial_timestamp_index: int = 50,
+        sampling_temperature: float = 1.0,
+        sampling_topk: int = 1,
+    ):
+        """Async half of ``generate``: enqueues the decode on the device
+        stream and returns a PendingGeneration; ``generate_collect``
+        blocks.  Lets the batched pipeline overlap the next batch's
+        encode+decode with this batch's host-side unpacking."""
         prompts = [list(p) for p in prompts]
         # CT2 semantics: timestamp rules are active unless the prompt opts
         # out with <|notimestamps|>.
         with_timestamps = self.meta.no_timestamps not in prompts[0]
-        return generate(
+        return generate_dispatch(
             self.params,
             self.config,
             self.meta,
@@ -293,6 +343,11 @@ class WhisperEngine:
             with_timestamps=with_timestamps,
             kv_int8=self.kv_int8,
         )
+
+    @staticmethod
+    def generate_collect(pending):
+        """Blocking half of generate_dispatch."""
+        return generate_collect(pending)
 
     # -- language detection (transcribe.py:1823, :1193) ------------------
 

@@ -1269,9 +1269,17 @@ class BatchedInferencePipeline:
         self.last_speech_timestamp = 0.0
 
     def forward(self, features, tokenizer, chunks_metadata, options):
-        encoder_output, outputs = self.generate_segment_batched(
+        encoder_output, pending = self._dispatch_segment_batch(
             features, tokenizer, options
         )
+        return self._forward_collect(
+            encoder_output, pending, tokenizer, chunks_metadata, options
+        )
+
+    def _forward_collect(
+        self, encoder_output, pending, tokenizer, chunks_metadata, options
+    ):
+        outputs = self._collect_segment_batch(pending, options)
 
         segmented_outputs = []
         segment_sizes = []
@@ -1330,6 +1338,19 @@ class BatchedInferencePipeline:
         tokenizer: Tokenizer,
         options: TranscriptionOptions,
     ):
+        encoder_output, pending = self._dispatch_segment_batch(
+            features, tokenizer, options
+        )
+        return encoder_output, self._collect_segment_batch(pending, options)
+
+    def _dispatch_segment_batch(
+        self,
+        features: np.ndarray,
+        tokenizer: Tokenizer,
+        options: TranscriptionOptions,
+    ):
+        """Async half: encode + enqueue the batched decode (returns before
+        the device finishes, so the caller can pipeline)."""
         batch_size = features.shape[0]
 
         prompt = self.model.get_prompt(
@@ -1371,7 +1392,7 @@ class BatchedInferencePipeline:
             for i, language_token in enumerate(language_tokens):
                 prompts[i][language_token_index] = language_token
 
-        results = self.model.model.generate(
+        pending = self.model.model.generate_dispatch(
             encoder_output,
             prompts,
             beam_size=options.beam_size,
@@ -1386,6 +1407,11 @@ class BatchedInferencePipeline:
             repetition_penalty=options.repetition_penalty,
             no_repeat_ngram_size=options.no_repeat_ngram_size,
         )
+        return encoder_output, pending
+
+    def _collect_segment_batch(self, pending, options: TranscriptionOptions):
+        """Blocking half: fetch the decoded sequences and unpack."""
+        results = self.model.model.generate_collect(pending)
 
         output = []
         for result in results:
@@ -1399,7 +1425,7 @@ class BatchedInferencePipeline:
                 )
             )
 
-        return encoder_output, output
+        return output
 
     def transcribe(
         self,
@@ -1667,13 +1693,40 @@ class BatchedInferencePipeline:
 
         pbar = tqdm(total=len(features), disable=not log_progress, position=0)
         seg_idx = 0
-        for i in range(0, len(features), batch_size):
-            results = self.forward(
-                features[i : i + batch_size],
+
+        # 1-deep pipelining: dispatch batch i+1's encode+decode onto the
+        # device stream before blocking on batch i's results, so the device
+        # never idles during host-side unpacking/tokenization.  Disabled
+        # with word_timestamps: the align pass for batch i would otherwise
+        # queue behind batch i+1's whole decode on the device stream.
+        lookahead = not options.word_timestamps and os.environ.get(
+            "FWT_PIPELINE_LOOKAHEAD", "1"
+        ) != "0"
+        starts = list(range(0, len(features), batch_size))
+        in_flight = None  # (start, encoder_output, pending)
+
+        def dispatch(start):
+            enc, pending = self._dispatch_segment_batch(
+                features[start : start + batch_size], tokenizer, options
+            )
+            return start, enc, pending
+
+        if starts:
+            in_flight = dispatch(starts[0])
+
+        for bi in range(len(starts)):
+            i, enc, pending = in_flight
+            if lookahead:
+                in_flight = dispatch(starts[bi + 1]) if bi + 1 < len(starts) else None
+            results = self._forward_collect(
+                enc,
+                pending,
                 tokenizer,
                 chunks_metadata[i : i + batch_size],
                 options,
             )
+            if not lookahead:
+                in_flight = dispatch(starts[bi + 1]) if bi + 1 < len(starts) else None
 
             for result in results:
                 for segment in result:
