@@ -214,6 +214,9 @@ class WhisperEngine:
         self.device = "tpu"
         self.device_index = 0
         self.kv_int8 = kv_int8
+        # Set by WhisperModel._setup_mesh for multi-chip data parallelism:
+        # a NamedSharding splitting the batch axis over the ("data",) mesh.
+        self.input_sharding = None
 
         if token_ids is None:
             token_ids = resolve_token_ids(hf_tokenizer)
@@ -246,7 +249,11 @@ class WhisperEngine:
         """(B, n_mels, 3000) or (n_mels, 3000) mel -> encoder states."""
         if features.ndim == 2:
             features = features[None]
-        return M.encode(self.params, self.config, jnp.asarray(features))
+        arr = jnp.asarray(features)
+        sh = self.input_sharding
+        if sh is not None and arr.shape[0] % sh.mesh.shape["data"] == 0:
+            arr = jax.device_put(arr, sh)
+        return M.encode(self.params, self.config, arr)
 
     # -- generate -------------------------------------------------------
 

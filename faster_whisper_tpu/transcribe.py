@@ -201,10 +201,46 @@ class WhisperModel:
             params, config, self.hf_tokenizer,
             kv_int8=compute_type.startswith("int8"),
         )
+        self._setup_mesh(device_index)
 
         self.feat_kwargs = self._get_feature_kwargs(model_path, preprocessor_bytes)
         self.feature_extractor = FeatureExtractor(**self.feat_kwargs)
         self._init_derived_constants()
+
+    def _setup_mesh(self, device_index):
+        """Multi-chip serving: the reference's ``device_index=[0, 1, ...]``
+        loads one replica per GPU and round-robins requests (reference:
+        transcribe.py:646-657, :1392-1394).  The TPU-native equivalent is a
+        single program over a ("data",) mesh of the listed chips —
+        replicated weights, batch axis sharded — so one batched call uses
+        every chip and XLA inserts any collectives (SURVEY §2.4)."""
+        idxs = (
+            list(device_index)
+            if isinstance(device_index, (list, tuple))
+            else [device_index]
+        )
+        self.mesh = None
+        if len(idxs) <= 1:
+            return
+        import jax
+
+        devs = jax.devices()
+        use = [devs[i] for i in idxs if 0 <= i < len(devs)]
+        if len(use) <= 1:
+            return
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from faster_whisper_tpu.parallel.mesh import make_mesh
+
+        self.mesh = make_mesh(
+            n_devices=len(use), data=len(use), model=1, devices=use
+        )
+        rep = NamedSharding(self.mesh, P())
+        self.model.params = jax.tree.map(
+            lambda a: jax.device_put(a, rep), self.model.params
+        )
+        self.model.input_sharding = NamedSharding(self.mesh, P("data"))
 
     @classmethod
     def from_parts(
@@ -214,6 +250,7 @@ class WhisperModel:
         hf_tokenizer,
         feature_extractor_kwargs: Optional[dict] = None,
         compute_type: str = "default",
+        device_index: Union[int, List[int]] = 0,
     ) -> "WhisperModel":
         """Build a WhisperModel from in-memory pieces (tests, benchmarks,
         converted checkpoints) without touching the filesystem."""
@@ -232,6 +269,7 @@ class WhisperModel:
             params, config, hf_tokenizer,
             kv_int8=compute_type.startswith("int8"),
         )
+        self._setup_mesh(device_index)
         kwargs = dict(feature_extractor_kwargs or {})
         kwargs.setdefault("feature_size", config.n_mels)
         self.feat_kwargs = kwargs

@@ -1,8 +1,12 @@
 import os
 import sys
 
-# Tests run on a virtual 8-device CPU mesh so sharding/pjit paths are
-# exercised without TPU hardware.  Must be set before jax import.
+# Prefer a virtual 8-device CPU mesh so sharding/pjit paths are exercised
+# without TPU hardware.  Must be set before jax import — environments whose
+# sitecustomize imports jax at interpreter start (e.g. a TPU tunnel) win;
+# there the suite runs on the real backend and mesh-only tests skip.  Run
+#   env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python -m pytest tests/
+# to force the CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -325,3 +325,39 @@ def test_detect_language_from_audio(model):
 
 def test_supported_languages(model):
     assert len(model.supported_languages) == 100
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip data parallelism (virtual 8-device CPU mesh, conftest.py)
+# ---------------------------------------------------------------------------
+
+
+def test_device_index_list_shards_batch(model, jfk_path):
+    """device_index=[0..7] (the reference's multi-GPU form,
+    transcribe.py:646-657) must map to a data-parallel mesh and produce
+    the same transcription as the single-device model."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    sharded = WhisperModel.from_parts(
+        model.model.params,
+        model.model.config,
+        model.hf_tokenizer,
+        model.feat_kwargs,
+        device_index=list(range(len(jax.devices()))),
+    )
+    assert sharded.mesh is not None
+    assert sharded.model.input_sharding is not None
+
+    pipe_ref = BatchedInferencePipeline(model)
+    pipe_sh = BatchedInferencePipeline(sharded)
+    kw = dict(language="en", beam_size=2, batch_size=8)
+    ref_segs, _ = pipe_ref.transcribe(jfk_path, **kw)
+    sh_segs, _ = pipe_sh.transcribe(jfk_path, **kw)
+    ref_segs, sh_segs = list(ref_segs), list(sh_segs)
+    assert [s.text for s in sh_segs] == [s.text for s in ref_segs]
+    assert [(s.start, s.end) for s in sh_segs] == [
+        (s.start, s.end) for s in ref_segs
+    ]
