@@ -111,9 +111,10 @@ def _jnp():
 
 def _have_pyav() -> bool:
     try:
-        import av  # noqa: F401
+        import av
 
-        return True
+        # a real PyAV, not a partial install or a test stub
+        return hasattr(av, "open")
     except ImportError:
         return False
 

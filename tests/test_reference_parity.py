@@ -1,0 +1,259 @@
+"""Direct behavioral parity against the reference's pure-Python modules.
+
+The reference package at /root/reference is importable module-by-module
+(its CT2/ORT/PyAV dependencies are only needed at call time or can be
+stubbed), so these tests run OUR implementations and the REFERENCE
+implementations side by side on the same inputs:
+
+  * feature_extractor: log-mel output equality to float tolerance,
+  * vad: the hysteresis state machine + chunk collection + timestamp
+    restoration given identical speech probabilities,
+  * tokenizer: special ids, encode/decode, timestamp decoding, word
+    splitting, suppress sets,
+  * utils: format_timestamp, get_end.
+
+This is stronger than golden files: any drift in either side fails.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # faster_whisper/__init__.py imports .audio which needs PyAV; stub it.
+    if "av" not in sys.modules:
+        av = types.ModuleType("av")
+        av.error = types.SimpleNamespace(InvalidDataError=Exception)
+        av.audio = types.SimpleNamespace(
+            resampler=types.SimpleNamespace(AudioResampler=object),
+            fifo=types.SimpleNamespace(AudioFifo=object),
+        )
+        sys.modules["av"] = av
+        sys.modules["av.error"] = av.error  # type: ignore[assignment]
+    if "ctranslate2" not in sys.modules:
+        # the reference's transcribe.py imports ctranslate2 at module level
+        # (incl. attribute lookups inside type annotations at class-creation
+        # time) but only *calls* it at inference time; an any-attribute stub
+        # suffices here
+        class _AnyAttr(types.ModuleType):
+            def __getattr__(self, name):
+                return object
+
+        ct2 = _AnyAttr("ctranslate2")
+        ct2.models = _AnyAttr("ctranslate2.models")
+        ct2.get_cuda_device_count = lambda: 0
+        ct2.get_supported_compute_types = lambda *a, **k: ["float32"]
+        sys.modules["ctranslate2"] = ct2
+    if "onnxruntime" not in sys.modules:
+        sys.modules["onnxruntime"] = types.ModuleType("onnxruntime")
+    try:
+        import faster_whisper.feature_extractor as ref_fe
+        import faster_whisper.tokenizer as ref_tok
+        import faster_whisper.utils as ref_utils
+        import faster_whisper.vad as ref_vad
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference package not importable: {e}")
+    return ref_fe, ref_tok, ref_vad, ref_utils
+
+
+# ---------------------------------------------------------------------------
+# Feature extractor
+# ---------------------------------------------------------------------------
+
+
+def test_log_mel_matches_reference(ref_modules, jfk_path):
+    ref_fe = ref_modules[0]
+    from faster_whisper_tpu.audio import decode_audio
+    from faster_whisper_tpu.feature_extractor import FeatureExtractor
+
+    audio = decode_audio(jfk_path, sampling_rate=16000)
+
+    ours = FeatureExtractor()(audio)
+    ref = ref_fe.FeatureExtractor()(audio)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_log_mel_chunk_length_override_matches_reference(ref_modules, jfk_path):
+    ref_fe = ref_modules[0]
+    from faster_whisper_tpu.audio import decode_audio
+    from faster_whisper_tpu.feature_extractor import FeatureExtractor
+
+    audio = decode_audio(jfk_path, sampling_rate=16000)[: 16000 * 5]
+    ours = FeatureExtractor()(audio, chunk_length=10)
+    ref = ref_fe.FeatureExtractor()(audio, chunk_length=10)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# VAD: state machine + chunk collection given identical probabilities
+# ---------------------------------------------------------------------------
+
+
+def _fake_probs_model(probs):
+    """A stand-in for the Silero model returning canned per-window probs."""
+
+    class _M:
+        def __call__(self, padded_audio, *a, **k):
+            n = len(padded_audio) // 512
+            return np.asarray(probs[:n], dtype=np.float32)
+
+    return _M()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_vad_state_machine_matches_reference(ref_modules, seed):
+    ref_vad = ref_modules[2]
+    import faster_whisper_tpu.vad as our_vad
+
+    rng = np.random.default_rng(seed)
+    n_windows = 400  # ~12.8 s
+    # blocky speech/silence pattern with noise so hysteresis paths trigger
+    state = rng.random(n_windows // 20) > 0.45
+    probs = np.repeat(state, 20).astype(np.float32)
+    probs = np.clip(probs * 0.9 + rng.normal(0, 0.15, n_windows), 0, 1)
+    audio = rng.standard_normal(n_windows * 512).astype(np.float32)
+
+    fake = _fake_probs_model(probs)
+    our_opts = our_vad.VadOptions(min_silence_duration_ms=300, max_speech_duration_s=6.0)
+    ref_opts = ref_vad.VadOptions(min_silence_duration_ms=300, max_speech_duration_s=6.0)
+
+    orig_our, orig_ref = our_vad.get_vad_model, ref_vad.get_vad_model
+    our_vad.get_vad_model = lambda: fake
+    ref_vad.get_vad_model = lambda: fake
+    try:
+        ours = our_vad.get_speech_timestamps(audio, our_opts)
+        ref = ref_vad.get_speech_timestamps(audio, ref_opts)
+    finally:
+        our_vad.get_vad_model, ref_vad.get_vad_model = orig_our, orig_ref
+
+    assert ours == ref
+
+
+def test_collect_chunks_and_timestamp_map_match_reference(ref_modules):
+    ref_vad = ref_modules[2]
+    import faster_whisper_tpu.vad as our_vad
+
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(16000 * 60).astype(np.float32)
+    chunks = [
+        {"start": 16000 * 1, "end": 16000 * 8},
+        {"start": 16000 * 12, "end": 16000 * 30},
+        {"start": 16000 * 42, "end": 16000 * 59},
+    ]
+
+    ours_audio, ours_meta = our_vad.collect_chunks(audio, chunks, max_duration=15)
+    ref_audio, ref_meta = ref_vad.collect_chunks(audio, chunks, max_duration=15)
+    assert len(ours_audio) == len(ref_audio)
+    for a, b in zip(ours_audio, ref_audio):
+        np.testing.assert_array_equal(a, b)
+    assert ours_meta == ref_meta
+
+    ours_map = our_vad.SpeechTimestampsMap(chunks, 16000)
+    ref_map = ref_vad.SpeechTimestampsMap(chunks, 16000)
+    for t in [0.0, 0.5, 3.3, 7.0, 12.9, 25.0, 43.9]:
+        ci_ours = ours_map.get_chunk_index(t)
+        ci_ref = ref_map.get_chunk_index(t)
+        assert ci_ours == ci_ref
+        assert ours_map.get_original_time(t, ci_ours) == pytest.approx(
+            ref_map.get_original_time(t, ci_ref)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (same synthetic tokenizer.json driven through both wrappers)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def both_tokenizers(ref_modules):
+    ref_tok = ref_modules[1]
+    from faster_whisper_tpu.testing import build_synthetic_tokenizer
+    from faster_whisper_tpu.tokenizer import Tokenizer as OurTokenizer
+
+    hf = build_synthetic_tokenizer(base_vocab=50257)
+    ours = OurTokenizer(hf, multilingual=True, task="transcribe", language="en")
+    ref = ref_tok.Tokenizer(hf, multilingual=True, task="transcribe", language="en")
+    return ours, ref
+
+
+def test_tokenizer_special_ids_match_reference(both_tokenizers):
+    ours, ref = both_tokenizers
+    assert ours.sot == ref.sot
+    assert ours.eot == ref.eot
+    assert ours.sot_prev == ref.sot_prev
+    assert ours.sot_lm == ref.sot_lm
+    assert ours.no_speech == ref.no_speech
+    assert ours.no_timestamps == ref.no_timestamps
+    assert ours.timestamp_begin == ref.timestamp_begin
+    assert ours.transcribe == ref.transcribe
+    assert ours.translate == ref.translate
+    assert list(ours.sot_sequence) == list(ref.sot_sequence)
+    assert ours.language_code == ref.language_code
+
+
+def test_tokenizer_non_speech_tokens_match_reference(both_tokenizers):
+    ours, ref = both_tokenizers
+    assert list(ours.non_speech_tokens) == list(ref.non_speech_tokens)
+
+
+def test_tokenizer_decode_paths_match_reference(both_tokenizers):
+    ours, ref = both_tokenizers
+    toks = ours.encode(" hello world, this is a test")
+    assert toks == ref.encode(" hello world, this is a test")
+    assert ours.decode(toks) == ref.decode(toks)
+    ts = [ours.timestamp_begin + 5] + toks + [ours.timestamp_begin + 80]
+    assert ours.decode_with_timestamps(ts) == ref.decode_with_timestamps(ts)
+
+
+def test_tokenizer_word_split_matches_reference(both_tokenizers):
+    ours, ref = both_tokenizers
+    toks = ours.encode(" hello world, it's a test!")
+    w_ours, t_ours = ours.split_to_word_tokens(toks)
+    w_ref, t_ref = ref.split_to_word_tokens(toks)
+    assert w_ours == w_ref
+    assert t_ours == t_ref
+
+
+def test_get_suppressed_tokens_matches_reference(ref_modules, both_tokenizers):
+    import faster_whisper.transcribe as ref_tr
+
+    from faster_whisper_tpu.transcribe import get_suppressed_tokens
+
+    ours, ref = both_tokenizers
+    for sup in ([-1], [], [42, 7], [-1, 42]):
+        got = get_suppressed_tokens(ours, list(sup))
+        want = ref_tr.get_suppressed_tokens(ref, list(sup))
+        assert tuple(got) == tuple(want), sup
+
+
+def test_format_timestamp_matches_reference(ref_modules):
+    ref_utils = ref_modules[3]
+    from faster_whisper_tpu.utils import format_timestamp
+
+    for t in [0.0, 0.02, 1.5, 59.999, 61.02, 3599.98, 3600.0, 3723.456]:
+        assert format_timestamp(t) == ref_utils.format_timestamp(t)
+        assert format_timestamp(
+            t, always_include_hours=True, decimal_marker=","
+        ) == ref_utils.format_timestamp(t, always_include_hours=True, decimal_marker=",")
+
+
+def test_get_end_matches_reference(ref_modules):
+    ref_utils = ref_modules[3]
+    from faster_whisper_tpu.utils import get_end
+
+    segs = [
+        {"words": [{"end": 1.0}, {"end": 2.5}], "end": 2.0},
+        {"words": [], "end": 4.0},
+    ]
+    assert get_end(segs) == ref_utils.get_end(segs)
+    assert get_end([]) == ref_utils.get_end([])
