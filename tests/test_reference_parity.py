@@ -257,3 +257,142 @@ def test_get_end_matches_reference(ref_modules):
     ]
     assert get_end(segs) == ref_utils.get_end(segs)
     assert get_end([]) == ref_utils.get_end([])
+
+
+# ---------------------------------------------------------------------------
+# Decode-policy layer: timestamp splitting, punctuation merge, VAD-clock
+# restoration
+# ---------------------------------------------------------------------------
+
+
+class _PolicyConsts:
+    """The derived constants both implementations read off self
+    (reference: transcribe.py:711-722)."""
+
+    input_stride = 2
+    time_precision = 0.02
+    frames_per_second = 100
+    tokens_per_second = 50
+
+
+def _ts_token_cases(tsb, eot):
+    """Token streams covering the timestamp-pairing shapes: consecutive
+    pairs, single-timestamp ending, and no timestamps at all."""
+    t = tsb
+    return [
+        # two complete segments: <0.00> text <1.00><1.00> text <2.50>
+        [t + 0, 5, 6, t + 50, t + 50, 7, 8, 9, t + 125],
+        # single timestamp ending: <0.00> text <2.00>
+        [t + 0, 11, 12, 13, t + 100],
+        # no consecutive pair, trailing text after last timestamp
+        [t + 10, 5, 6],
+        # no timestamps at all (without_timestamps decode)
+        [5, 6, 7, 8],
+        # empty
+        [],
+    ]
+
+
+def test_split_segments_by_timestamps_matches_reference(
+    ref_modules, both_tokenizers
+):
+    import faster_whisper.transcribe as ref_tr
+
+    from faster_whisper_tpu.transcribe import WhisperModel as OurModel
+
+    ours_tok, ref_tok = both_tokenizers
+    consts = _PolicyConsts()
+
+    for tokens in _ts_token_cases(ours_tok.timestamp_begin, ours_tok.eot):
+        for seek0 in (0, 1200):
+            got = OurModel._split_segments_by_timestamps(
+                consts,
+                tokenizer=ours_tok,
+                tokens=list(tokens),
+                time_offset=seek0 * 0.01,
+                segment_size=3000,
+                segment_duration=30.0,
+                seek=seek0,
+            )
+            want = ref_tr.WhisperModel._split_segments_by_timestamps(
+                consts,
+                tokenizer=ref_tok,
+                tokens=list(tokens),
+                time_offset=seek0 * 0.01,
+                segment_size=3000,
+                segment_duration=30.0,
+                seek=seek0,
+            )
+            assert got[1] == want[1], tokens  # seek advance
+            assert got[2] == want[2], tokens  # single_timestamp_ending
+            assert len(got[0]) == len(want[0]), tokens
+            for g, w in zip(got[0], want[0]):
+                assert g["tokens"] == w["tokens"]
+                assert g["start"] == pytest.approx(w["start"])
+                assert g["end"] == pytest.approx(w["end"])
+
+
+def test_merge_punctuations_matches_reference(ref_modules):
+    import faster_whisper.transcribe as ref_tr
+
+    from faster_whisper_tpu.transcribe import merge_punctuations
+
+    def mk():
+        return [
+            {"word": " \u00bf", "tokens": [1], "start": 0.0, "end": 0.1},
+            {"word": " Hola", "tokens": [2], "start": 0.1, "end": 0.5},
+            {"word": ",", "tokens": [3], "start": 0.5, "end": 0.6},
+            {"word": " mundo", "tokens": [4], "start": 0.6, "end": 1.0},
+            {"word": "!", "tokens": [5], "start": 1.0, "end": 1.1},
+            {"word": '"', "tokens": [6], "start": 1.1, "end": 1.2},
+        ]
+
+    ours, ref = mk(), mk()
+    prepended, appended = "\"'\u201c\u00bf([{-", "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+    merge_punctuations(ours, prepended, appended)
+    ref_tr.merge_punctuations(ref, prepended, appended)
+    assert ours == ref
+
+
+def test_restore_speech_timestamps_matches_reference(ref_modules):
+    import faster_whisper.transcribe as ref_tr
+
+    import faster_whisper_tpu.transcribe as our_tr
+
+    chunks = [
+        {"start": 16000 * 2, "end": 16000 * 9},
+        {"start": 16000 * 15, "end": 16000 * 28},
+    ]
+
+    def mk_segments(mod):
+        return [
+            mod.Segment(
+                id=1, seek=0, start=1.0, end=4.0, text=" a", tokens=[1],
+                avg_logprob=-0.1, compression_ratio=1.0, no_speech_prob=0.0,
+                words=None, temperature=0.0,
+            ),
+            mod.Segment(
+                id=2, seek=0, start=8.0, end=12.0, text=" b", tokens=[2],
+                avg_logprob=-0.1, compression_ratio=1.0, no_speech_prob=0.0,
+                words=[
+                    mod.Word(start=8.0, end=9.0, word=" b", probability=0.9),
+                    mod.Word(start=11.0, end=12.0, word=" c", probability=0.9),
+                ],
+                temperature=0.0,
+            ),
+        ]
+
+    got = list(
+        our_tr.restore_speech_timestamps(mk_segments(our_tr), chunks, 16000)
+    )
+    want = list(
+        ref_tr.restore_speech_timestamps(mk_segments(ref_tr), chunks, 16000)
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.start == pytest.approx(w.start)
+        assert g.end == pytest.approx(w.end)
+        if w.words:
+            assert [(x.start, x.end) for x in g.words] == [
+                (x.start, x.end) for x in w.words
+            ]
