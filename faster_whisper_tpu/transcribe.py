@@ -1305,6 +1305,7 @@ class BatchedInferencePipeline:
     def __init__(self, model):
         self.model: WhisperModel = model
         self.last_speech_timestamp = 0.0
+        self._batch_bucket = None
 
     def forward(self, features, tokenizer, chunks_metadata, options):
         encoder_output, pending = self._dispatch_segment_batch(
@@ -1361,7 +1362,7 @@ class BatchedInferencePipeline:
             self.last_speech_timestamp = self.model.add_word_timestamps(
                 segmented_outputs,
                 tokenizer,
-                encoder_output,
+                encoder_output[: len(segment_sizes)],
                 segment_sizes,
                 options.prepend_punctuations,
                 options.append_punctuations,
@@ -1376,6 +1377,7 @@ class BatchedInferencePipeline:
         tokenizer: Tokenizer,
         options: TranscriptionOptions,
     ):
+        self._batch_bucket = None  # direct calls: no program to share
         encoder_output, pending = self._dispatch_segment_batch(
             features, tokenizer, options
         )
@@ -1390,6 +1392,16 @@ class BatchedInferencePipeline:
         """Async half: encode + enqueue the batched decode (returns before
         the device finishes, so the caller can pipeline)."""
         batch_size = features.shape[0]
+        # Pad a trailing partial batch up to the bucket the full batches
+        # already compiled for: reusing one XLA program beats compiling a
+        # second one for the tail (the dummy rows' outputs are dropped).
+        pad_to = getattr(self, "_batch_bucket", None)
+        if pad_to is not None and 0 < batch_size < pad_to:
+            import jax.numpy as jnp
+
+            reps = [features[-1:]] * (pad_to - batch_size)
+            features = jnp.concatenate([features, *reps], axis=0)
+            batch_size = pad_to
 
         prompt = self.model.get_prompt(
             tokenizer,
@@ -1741,6 +1753,10 @@ class BatchedInferencePipeline:
             "FWT_PIPELINE_LOOKAHEAD", "1"
         ) != "0"
         starts = list(range(0, len(features), batch_size))
+        # A trailing partial batch reuses the full-batch XLA program (padded
+        # rows dropped at unpack) instead of compiling a second program —
+        # only when there IS a full batch to share the program with.
+        self._batch_bucket = batch_size if len(features) > batch_size else None
         in_flight = None  # (start, encoder_output, pending)
 
         def dispatch(start):

@@ -361,3 +361,29 @@ def test_device_index_list_shards_batch(model, jfk_path):
     assert [(s.start, s.end) for s in sh_segs] == [
         (s.start, s.end) for s in ref_segs
     ]
+
+
+def test_partial_trailing_batch_matches_unpadded(model):
+    """A trailing partial batch is padded to reuse the full batch's XLA
+    program; results must be identical to a batch size that divides the
+    chunk count evenly."""
+    import numpy as np
+
+    from faster_whisper_tpu.audio import decode_audio
+
+    audio = decode_audio(
+        "/root/reference/tests/data/jfk.flac", sampling_rate=16000
+    )
+    long_audio = np.tile(audio, 9)  # ~99 s -> 4 VAD-ish chunks of 30 s
+
+    pipe = BatchedInferencePipeline(model)
+    clips = [{"start": i * 24.0, "end": (i + 1) * 24.0} for i in range(4)]
+    kw = dict(
+        language="en", beam_size=1, vad_filter=False, max_new_tokens=16,
+        clip_timestamps=clips,
+    )
+    segs_a, _ = pipe.transcribe(long_audio, batch_size=3, **kw)  # 3 + 1 pad
+    segs_b, _ = pipe.transcribe(long_audio, batch_size=2, **kw)  # 2 + 2
+    a = [(s.start, s.end, s.text) for s in segs_a]
+    b = [(s.start, s.end, s.text) for s in segs_b]
+    assert a == b
