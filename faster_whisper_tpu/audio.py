@@ -10,7 +10,7 @@ the backend pluggable so the library works in hermetic environments:
 1. PyAV when importable (same capability set as the reference),
 2. built-in WAV/FLAC decoders (flac.py + the native C++ accelerator) with
    polyphase resampling via scipy — hermetic, no external deps,
-3. the native libav shim (native/media_decoder.cpp, linked against the
+3. the native libav shim (faster_whisper_tpu/native/media_decoder.cpp, linked against the
    system FFmpeg C libraries) for every other container/codec
    (MP3, M4A/AAC, OGG, Opus, WebM, ...),
 4. the ``ffmpeg`` CLI when on PATH.

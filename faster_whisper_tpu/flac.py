@@ -4,7 +4,7 @@ The reference relies on PyAV's bundled FFmpeg for all audio decode
 (reference: faster_whisper/audio.py:1-7).  To keep this library usable in
 hermetic environments (no PyAV, no ffmpeg), we ship a self-contained FLAC
 decoder: this pure-Python implementation is the reference/fallback, and
-native/libflac_decoder.cpp provides a drop-in C++ fast path loaded via
+faster_whisper_tpu/native/flac_decoder.cpp provides a drop-in C++ fast path loaded via
 ctypes when built (see flac_native.py).
 
 Implements the FLAC stream format: STREAMINFO metadata, frame headers with

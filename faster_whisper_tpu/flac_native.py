@@ -1,4 +1,4 @@
-"""ctypes loader for the native C++ FLAC decoder (native/flac_decoder.cpp).
+"""ctypes loader for the native C++ FLAC decoder (faster_whisper_tpu/native/flac_decoder.cpp).
 
 The shared library is built on first use with the system g++ (no
 pybind11/cffi dependency — plain C ABI) and cached next to the package.
@@ -27,9 +27,7 @@ def _so_path() -> str:
 
 def _source_path() -> str:
     return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "native",
-        "flac_decoder.cpp",
+        os.path.dirname(os.path.abspath(__file__)), "native", "flac_decoder.cpp"
     )
 
 

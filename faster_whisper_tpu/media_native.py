@@ -1,4 +1,4 @@
-"""ctypes loader for the native libav media decoder (native/media_decoder.cpp).
+"""ctypes loader for the native libav media decoder (faster_whisper_tpu/native/media_decoder.cpp).
 
 Links against the system FFmpeg C libraries (libavformat/libavcodec/
 libswresample) — the same decode stack the reference reaches through the
@@ -30,9 +30,7 @@ def _so_path() -> str:
 
 def _source_path() -> str:
     return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "native",
-        "media_decoder.cpp",
+        os.path.dirname(os.path.abspath(__file__)), "native", "media_decoder.cpp"
     )
 
 

@@ -158,6 +158,8 @@ def download_model(
         "local_files_only": local_files_only,
         "allow_patterns": allow_patterns,
         "revision": revision,
+        # silent downloads, as the reference does (utils.py:102)
+        "tqdm_class": _make_disabled_tqdm(),
     }
 
     if output_dir is not None:
@@ -189,6 +191,28 @@ def format_timestamp(
     return (
         f"{hours_marker}{minutes:02d}:{seconds:02d}{decimal_marker}{milliseconds:03d}"
     )
+
+
+def _make_disabled_tqdm():
+    from tqdm.auto import tqdm
+
+    class disabled_tqdm(tqdm):
+        """A tqdm that never renders — handed to huggingface_hub so model
+        downloads stay silent unless the caller opts into progress
+        (reference: utils.py:142-145)."""
+
+        def __init__(self, *args, **kwargs):
+            kwargs["disable"] = True
+            super().__init__(*args, **kwargs)
+
+    return disabled_tqdm
+
+
+def __getattr__(name):
+    # lazily constructed so importing utils never pulls tqdm eagerly
+    if name == "disabled_tqdm":
+        return _make_disabled_tqdm()
+    raise AttributeError(name)
 
 
 def get_end(segments: List[dict]) -> Optional[float]:
