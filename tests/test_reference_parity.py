@@ -396,3 +396,32 @@ def test_restore_speech_timestamps_matches_reference(ref_modules):
             assert [(x.start, x.end) for x in g.words] == [
                 (x.start, x.end) for x in w.words
             ]
+
+
+# ---------------------------------------------------------------------------
+# Full API-signature parity (names, order-independent, default values)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "cls_name", ["WhisperModel", "BatchedInferencePipeline"]
+)
+def test_transcribe_signature_defaults_match_reference(ref_modules, cls_name):
+    import inspect
+
+    import faster_whisper.transcribe as ref_tr
+
+    import faster_whisper_tpu.transcribe as our_tr
+
+    def defaults(fn):
+        return {
+            k: (v.default if v.default is not inspect.Parameter.empty else "<req>")
+            for k, v in inspect.signature(fn).parameters.items()
+            if k != "self"
+        }
+
+    ref_d = defaults(getattr(getattr(ref_tr, cls_name), "transcribe"))
+    our_d = defaults(getattr(getattr(our_tr, cls_name), "transcribe"))
+    assert set(ref_d) == set(our_d)
+    for k in ref_d:
+        assert ref_d[k] == our_d[k], k
