@@ -1755,8 +1755,14 @@ class BatchedInferencePipeline:
         starts = list(range(0, len(features), batch_size))
         # A trailing partial batch reuses the full-batch XLA program (padded
         # rows dropped at unpack) instead of compiling a second program —
-        # only when there IS a full batch to share the program with.
-        self._batch_bucket = batch_size if len(features) > batch_size else None
+        # but only when the tail is at least half a batch: padding a tiny
+        # tail wastes more step compute than its own (cheap) program costs.
+        tail = len(features) % batch_size
+        self._batch_bucket = (
+            batch_size
+            if len(features) > batch_size and tail >= batch_size // 2
+            else None
+        )
         in_flight = None  # (start, encoder_output, pending)
 
         def dispatch(start):
