@@ -28,6 +28,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def upload_audio(buf: np.ndarray) -> jax.Array:
+    """Host->device PCM transfer, as int16 when enabled (default).
+
+    Audio decode produces s16-derived float32 (value grid k/32768 for
+    unresampled mono sources), so shipping int16 and dividing on device
+    halves the transfer bytes at <=0.5 LSB error — significant on
+    tunneled TPUs where host->device runs at ~50 MB/s.  Disable with
+    FWT_I16_TRANSFER=0 for bit-exact float32 transport.
+    """
+    import os
+
+    if os.environ.get("FWT_I16_TRANSFER", "1") == "0":
+        return jnp.asarray(buf)
+    q = np.clip(np.round(buf * 32768.0), -32768, 32767).astype(np.int16)
+    return _dequant_i16(jnp.asarray(q))
+
+
+@jax.jit
+def _dequant_i16(q: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * (1.0 / 32768.0)
+
+
 def hann_window(n_fft: int) -> np.ndarray:
     """The periodic Hann window used by Whisper: np.hanning(n_fft+1)[:-1]."""
     return np.hanning(n_fft + 1)[:-1].astype(np.float32)
@@ -226,9 +248,10 @@ def chunked_log_mel(
     lengths_b[:n] = np.minimum(lengths, n_frames_win * hop_length)
 
     tail = n_frames_win * hop_length + n_fft
-    audio_dev = jnp.asarray(
-        np.pad(np.asarray(audio, dtype=np.float32), (0, tail))
-    )
+    # float32 transport: features feed the model, so they stay bit-exact
+    # (int16 transport shifts quiet log-mel bins by ~1e-3); the VAD path
+    # uses upload_audio's int16 mode where only threshold decisions matter.
+    audio_dev = jnp.asarray(np.pad(np.asarray(audio, dtype=np.float32), (0, tail)))
     out = _chunked_mel_impl(
         audio_dev,
         jnp.asarray(starts_b),
