@@ -216,11 +216,19 @@ class SileroVAD:
         # _vad_forward_audio) so only raw audio crosses the host boundary.
         bucket = 2048
         n_pad = max(bucket, -(-n // bucket) * bucket)
-        audio = audio.astype(np.float32, copy=False)
-        if n_pad != n:
-            audio = np.pad(audio, (0, (n_pad - n) * num_samples))
+        if isinstance(audio, jax.Array):
+            # already on device (shared upload): pad there, no transfer
+            dev = audio.astype(jnp.float32)
+            if n_pad != n:
+                dev = jnp.pad(dev, (0, (n_pad - n) * num_samples))
+        else:
+            audio = audio.astype(np.float32, copy=False)
+            if n_pad != n:
+                audio = np.pad(audio, (0, (n_pad - n) * num_samples))
 
-        from faster_whisper_tpu.ops.mel import upload_audio
+            from faster_whisper_tpu.ops.mel import upload_audio
 
-        probs = _vad_forward_audio(self.weights, upload_audio(audio))
+            dev = upload_audio(audio)
+
+        probs = _vad_forward_audio(self.weights, dev)
         return np.asarray(probs[:n])

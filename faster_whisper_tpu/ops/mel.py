@@ -251,7 +251,14 @@ def chunked_log_mel(
     # float32 transport: features feed the model, so they stay bit-exact
     # (int16 transport shifts quiet log-mel bins by ~1e-3); the VAD path
     # uses upload_audio's int16 mode where only threshold decisions matter.
-    audio_dev = jnp.asarray(np.pad(np.asarray(audio, dtype=np.float32), (0, tail)))
+    # An already-on-device audio array (shared with the VAD upload) is
+    # tail-padded on device — no second host->device transfer.
+    if isinstance(audio, jax.Array):
+        audio_dev = jnp.pad(audio.astype(jnp.float32), (0, tail))
+    else:
+        audio_dev = jnp.asarray(
+            np.pad(np.asarray(audio, dtype=np.float32), (0, tail))
+        )
     out = _chunked_mel_impl(
         audio_dev,
         jnp.asarray(starts_b),

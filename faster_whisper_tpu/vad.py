@@ -48,12 +48,15 @@ def get_speech_timestamps(
     audio: np.ndarray,
     vad_options: Optional[VadOptions] = None,
     sampling_rate: int = 16000,
+    audio_device=None,
     **kwargs,
 ) -> List[dict]:
     """Split long audio into speech chunks using Silero VAD.
 
     Returns a list of {"start": sample, "end": sample} dicts.
-    Behavior contract: reference vad.py:45-183.
+    Behavior contract: reference vad.py:45-183.  ``audio_device`` may pass
+    an already-uploaded jax copy of ``audio`` so the VAD shares the
+    pipeline's single host->device transfer.
     """
     if vad_options is None:
         vad_options = VadOptions(**kwargs)
@@ -74,7 +77,13 @@ def get_speech_timestamps(
 
     n_samples = len(audio)
     model = get_vad_model()
-    padded = np.pad(audio, (0, window - n_samples % window))
+    pad = window - n_samples % window
+    if audio_device is not None:
+        import jax.numpy as jnp
+
+        padded = jnp.pad(audio_device, (0, pad))
+    else:
+        padded = np.pad(audio, (0, pad))
     probs = model(padded)
 
     # --- hysteresis state machine over window probabilities ---

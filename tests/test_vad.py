@@ -167,3 +167,18 @@ def test_real_audio_vad(jfk_path):
     assert speech > 9.0
     silence = np.zeros(SR * 3, dtype=np.float32)
     assert get_speech_timestamps(silence) == []
+
+
+def test_get_speech_timestamps_accepts_device_audio(jfk_path):
+    """audio_device= lets callers share an already-uploaded jax copy; the
+    result must equal the host-array path exactly."""
+    import jax.numpy as jnp
+
+    from faster_whisper_tpu.audio import decode_audio
+    from faster_whisper_tpu.vad import VadOptions, get_speech_timestamps
+
+    audio = decode_audio(jfk_path, sampling_rate=16000)
+    opts = VadOptions()
+    host = get_speech_timestamps(audio, opts)
+    dev = get_speech_timestamps(audio, opts, audio_device=jnp.asarray(audio))
+    assert host == dev
