@@ -172,3 +172,65 @@ def test_ct2_parser_dtype_validation():
     np.testing.assert_array_equal(
         out["some/variable"], np.arange(6, dtype=np.float32).reshape(2, 3)
     )
+
+
+def _write_var_typed(buf, name, arr, tag):
+    arr = np.ascontiguousarray(arr)
+    _write_string(buf, name)
+    buf.write(struct.pack("<B", arr.ndim))
+    for d in arr.shape:
+        buf.write(struct.pack("<I", d))
+    buf.write(struct.pack("<B", tag))
+    buf.write(struct.pack("<I", arr.nbytes))
+    buf.write(arr.tobytes())
+
+
+def test_ct2_int8_weights_dequantize():
+    """int8 CT2 checkpoints store weight (int8) + weight_scale
+    (per-output-channel f32); the loader must dequantize them
+    (reference ships such models for compute_type=int8)."""
+    from faster_whisper_tpu.models.load import read_ct2_variables
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((6, 4)).astype(np.float32)
+    # CT2 convention: weight_scale = 127 / amax (a multiplier), so
+    # dequantization is q / scale — what models/load.py::get implements.
+    scale = 127.0 / np.abs(w).max(axis=1)
+    q = np.clip(np.round(w * scale[:, None]), -127, 127).astype(np.int8)
+
+    buf = io.BytesIO()
+    buf.write(struct.pack("<I", 6))
+    _write_string(buf, "WhisperSpec")
+    buf.write(struct.pack("<I", 3))
+    buf.write(struct.pack("<I", 2))
+    _write_var_typed(buf, "encoder/layer_0/ffn/linear_0/weight", q, 1)
+    _write_var_typed(buf, "encoder/layer_0/ffn/linear_0/weight_scale", scale, 0)
+    out = read_ct2_variables(buf.getvalue())
+
+    got_q = out["encoder/layer_0/ffn/linear_0/weight"]
+    assert got_q.dtype == np.int8
+    deq = got_q.astype(np.float32) / out[
+        "encoder/layer_0/ffn/linear_0/weight_scale"
+    ].astype(np.float32).reshape(-1, 1)
+    np.testing.assert_allclose(deq, w, atol=np.abs(w).max() / 127.0 + 1e-6)
+
+
+def test_ct2_f16_and_bf16_variables():
+    from faster_whisper_tpu.models.load import read_ct2_variables
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((3, 5)).astype(np.float32)
+
+    buf = io.BytesIO()
+    buf.write(struct.pack("<I", 6))
+    _write_string(buf, "WhisperSpec")
+    buf.write(struct.pack("<I", 3))
+    buf.write(struct.pack("<I", 2))
+    _write_var_typed(buf, "a/weight", w.astype(np.float16), 4)
+    bf16_bits = (w.view(np.uint32) >> 16).astype("<u2")
+    _write_var_typed(buf, "b/weight", bf16_bits, 5)
+    out = read_ct2_variables(buf.getvalue())
+
+    np.testing.assert_allclose(out["a/weight"].astype(np.float32), w, atol=2e-3)
+    np.testing.assert_allclose(out["b/weight"], 
+                               (bf16_bits.astype(np.uint32) << 16).view(np.float32))
