@@ -425,3 +425,12 @@ def test_transcribe_signature_defaults_match_reference(ref_modules, cls_name):
     assert set(ref_d) == set(our_d)
     for k in ref_d:
         assert ref_d[k] == our_d[k], k
+
+
+def test_language_codes_match_reference(ref_modules):
+    import faster_whisper.tokenizer as ref_tok
+
+    from faster_whisper_tpu.tokenizer import _LANGUAGE_CODES
+
+    assert tuple(_LANGUAGE_CODES) == tuple(ref_tok._LANGUAGE_CODES)
+    assert len(_LANGUAGE_CODES) == 100
