@@ -17,8 +17,12 @@ Layout decisions (TPU-first):
   * Beams live on a (B, K) grid.  Cross-attention K/V over the 1500 encoder
     states is computed once per window and *shared* across beams (queries
     broadcast against it), so beam search does not tile the big cross cache.
-  * The per-beam self-attention cache is (L, B, K, ctx, H, D); beam reorder
-    is a gather along K.
+  * The per-beam self-attention cache is (L, B, K, ctx, H, D) and is
+    append-only per slot: beam re-parenting permutes a (B, K, ctx)
+    ancestry table and self-attention masks across slots, so the cache is
+    never physically reordered (its full-cache read+write was the
+    dominant beam overhead).  Optional int8 K/V storage halves the
+    per-step cache read.
   * Prompts are right-padded to a bucketed length; positions/masks carry the
     true lengths.  One compiled program per (B, K, prompt-bucket, flags).
 """
