@@ -695,7 +695,13 @@ def generate_dispatch(
     assert encoder_output.shape[0] == b
 
     prompt_lens = np.array([len(pr) for pr in prompts], dtype=np.int32)
-    P = _bucket(int(prompt_lens.max()))
+    # Prompt buckets: 32 covers the batched pipeline's short prompts; long
+    # conditioned prompts (sequential path, previous-text up to 223 tokens)
+    # bucket coarsely at 128 — each distinct bucket is a separate XLA
+    # program, and step-32 buckets meant ~8 cold compiles per model.
+    # Prefill over padded positions is cheap; decode length is ctx_cap's.
+    max_p = int(prompt_lens.max())
+    P = 32 if max_p <= 32 else _bucket(max_p, step=128)
     prompt_arr = np.zeros((b, P), dtype=np.int32)
     sot_pos = np.zeros((b,), dtype=np.int32)
     for i, pr in enumerate(prompts):
