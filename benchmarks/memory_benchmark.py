@@ -61,7 +61,10 @@ def main():
     sampler.running = False
     sampler.join(timeout=2)
     print(f"peak host RSS: {sampler.peak_rss:.0f} MB")
-    print(f"peak device HBM: {sampler.peak_hbm / 1e6:.0f} MB")
+    if sampler.peak_hbm:
+        print(f"peak device HBM: {sampler.peak_hbm / 1e6:.0f} MB")
+    else:
+        print("peak device HBM: n/a (memory_stats not exposed by this runtime)")
 
 
 if __name__ == "__main__":
