@@ -462,7 +462,7 @@ def read_ct2_variables(path_or_bytes) -> Dict[str, np.ndarray]:
     binary_version = u32()
     if binary_version > 10:
         raise ValueError(
-            f"unsupported CTranslate2 binary version {binary_version} in {path}"
+            f"unsupported CTranslate2 binary version {binary_version}"
         )
     spec_name = cstr()
     revision = u32()

@@ -217,8 +217,14 @@ class SileroVAD:
         bucket = 2048
         n_pad = max(bucket, -(-n // bucket) * bucket)
         if isinstance(audio, jax.Array):
-            # already on device (shared upload): pad there, no transfer
+            # already on device (shared upload): pad there, no transfer.
+            # Apply the same int16 grid the host transport uses so both
+            # paths yield identical probabilities.
             dev = audio.astype(jnp.float32)
+            if os.environ.get("FWT_I16_TRANSFER", "1") != "0":
+                dev = (
+                    jnp.clip(jnp.round(dev * 32768.0), -32768, 32767) / 32768.0
+                )
             if n_pad != n:
                 dev = jnp.pad(dev, (0, (n_pad - n) * num_samples))
         else:

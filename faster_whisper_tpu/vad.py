@@ -55,8 +55,11 @@ def get_speech_timestamps(
 
     Returns a list of {"start": sample, "end": sample} dicts.
     Behavior contract: reference vad.py:45-183.  ``audio_device`` may pass
-    an already-uploaded jax copy of ``audio`` so the VAD shares the
-    pipeline's single host->device transfer.
+    an already-uploaded jax copy of ``audio`` (e.g. a serving integration
+    that already holds PCM on device) to skip this call's host->device
+    transfer; results match the host path exactly.  The built-in pipelines
+    pass host arrays — their feature uploads cover different sample spans,
+    so a shared upload would not pay for itself there.
     """
     if vad_options is None:
         vad_options = VadOptions(**kwargs)
