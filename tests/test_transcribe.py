@@ -387,3 +387,38 @@ def test_partial_trailing_batch_matches_unpadded(model):
     a = [(s.start, s.end, s.text) for s in segs_a]
     b = [(s.start, s.end, s.text) for s in segs_b]
     assert a == b
+
+
+def test_stereo_diarization_structure(model, stereo_wav_path):
+    """Mirror of the reference's stereo test at the structural level
+    (tests/test_transcribe.py:142-157 — golden transcripts need real
+    weights): each channel transcribes independently through the full
+    pipeline and the channels carry different audio."""
+    import numpy as np
+
+    from faster_whisper_tpu.audio import decode_audio
+
+    left, right = decode_audio(stereo_wav_path, split_stereo=True)
+    assert left.shape == right.shape
+    assert not np.allclose(left, right)
+
+    segs_l, info_l = model.transcribe(left, language="en", beam_size=1)
+    segs_r, info_r = model.transcribe(right, language="en", beam_size=1)
+    segs_l, segs_r = list(segs_l), list(segs_r)
+    assert len(segs_l) >= 1 and len(segs_r) >= 1
+    assert info_l.duration == info_r.duration
+
+
+def test_vad_options_echoed_in_info(model, jfk_path):
+    """info.vad_options reflects the caller's parameters (reference
+    tests/test_transcribe.py:118-139)."""
+    segments, info = model.transcribe(
+        jfk_path,
+        language="en",
+        beam_size=1,
+        vad_filter=True,
+        vad_parameters=dict(min_silence_duration_ms=500, speech_pad_ms=200),
+    )
+    list(segments)
+    assert info.vad_options.min_silence_duration_ms == 500
+    assert info.vad_options.speech_pad_ms == 200
