@@ -7,7 +7,9 @@ stereo split.  The reference delegates to PyAV/FFmpeg; audio decode is a
 host-side concern on TPU as well, so we keep the same architecture but make
 the backend pluggable so the library works in hermetic environments:
 
-1. PyAV when importable (same capability set as the reference),
+1. PyAV when importable — this backend is a port of the reference's
+   MIT-licensed decoder (see LICENSE for SYSTRAN's notice): same 500k
+   FIFO grouping, invalid-frame tolerance, and resampler gc workaround,
 2. built-in WAV/FLAC decoders (flac.py + the native C++ accelerator) with
    polyphase resampling via scipy — hermetic, no external deps,
 3. the native libav shim (faster_whisper_tpu/native/media_decoder.cpp, linked against the

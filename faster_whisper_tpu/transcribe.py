@@ -1,14 +1,18 @@
 """Transcription orchestration and user API.
 
-TPU-native re-implementation of the reference's L4 layer
-(reference: faster_whisper/transcribe.py).  The public surface —
-``WhisperModel.transcribe`` / ``BatchedInferencePipeline`` and the
+The reference's L4 layer (reference: faster_whisper/transcribe.py), with
+the CTranslate2 engine replaced by the JAX/Pallas stack in models/ and
+generation/.  The decode *policy* functions — ``get_prompt``,
+``_split_segments_by_timestamps``, ``generate_with_fallback``,
+``add_word_timestamps``, ``restore_speech_timestamps``,
+``merge_punctuations``, the hallucination heuristics, and the
 ``Segment``/``Word``/``TranscriptionOptions``/``TranscriptionInfo``
-dataclasses — and the decode *policy* (temperature fallback ladder,
-timestamp splitting, no-speech skips, prompt construction, hallucination
-heuristics) reproduce the reference behavior contract exactly; the engine
-underneath is the JAX/Pallas stack in models/ and generation/ instead of
-CTranslate2.
+dataclasses — are **ports** of SYSTRAN's MIT-licensed faster-whisper
+(see LICENSE): output parity is the product contract at this layer, so
+the reference's logic is reproduced deliberately, in places line-for-line.
+What is NOT ported is everything around those policy functions: model
+loading, device/feature residency, the batched dispatch/collect pipeline,
+mesh setup, and the engine calls are designed for XLA/TPU execution.
 """
 
 import itertools
