@@ -27,10 +27,28 @@ def test_wer_corpus_weighting():
     assert wer == 1 / 5
 
 
-def test_normalizer_basic():
+def test_normalizer_matches_reference_semantics():
+    """Golden pairs pinning openai-EnglishTextNormalizer behavior (the
+    normalization the reference's WER benchmark applies, including the
+    number/ordinal/currency spelling-to-digits conversion and the
+    British->American spelling table from the vendored normalizer.json)."""
     norm = EnglishTextNormalizer()
-    assert norm("Hello, World!") == "hello world"
-    assert norm("I can't do it.") == "i can not do it"
-    assert norm("they're won't we've") == "they are will not we have"
-    assert norm("[noise] okay (laughs) then") == "okay then"
-    assert norm("The CAT's  whiskers") == "the cat s whiskers"
+    cases = [
+        ("Hello, World!", "hello world"),
+        ("I can't do it.", "i can not do it"),
+        ("they're won't we've", "they are will not we have"),
+        ("[noise] okay (laughs) then", "okay then"),
+        ("The CAT's  whiskers", "the cat is whiskers"),
+        ("one hundred and twenty-three dollars", "$123"),
+        ("the twenty-first of May, nineteen sixty-three", "the 21st of may 1963"),
+        ("Mr. Brown lives on the 3rd floor", "mister brown lives on the 3rd floor"),
+        ("I paid $12.50 for two apples", "i paid $12.50 for 2 apples"),
+        (
+            "it's the colour and flavour of the aeroplane",
+            "it is the color and flavor of the airplane",
+        ),
+        ("he was born in nineteen eighty-four", "he was born in 1984"),
+        ("zero point five percent", "0.5%"),
+    ]
+    for raw, want in cases:
+        assert norm(raw) == want, raw
