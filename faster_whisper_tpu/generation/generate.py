@@ -616,7 +616,7 @@ def generate(
     sampling_topk: int = 1,
     num_hypotheses: int = 1,
     with_timestamps: bool = True,
-    rng_seed: int = 0,
+    rng_seed: Optional[int] = None,
     kv_int8: bool = False,
 ) -> List[WhisperGenerationResult]:
     """Batched generation mirroring the CT2 call signature the reference
@@ -686,7 +686,7 @@ def generate_dispatch(
     sampling_topk: int = 1,
     num_hypotheses: int = 1,
     with_timestamps: bool = True,
-    rng_seed: int = 0,
+    rng_seed: Optional[int] = None,
     kv_int8: bool = False,
 ) -> PendingGeneration:
     """Enqueue a generation on the device and return immediately (JAX
@@ -745,7 +745,14 @@ def generate_dispatch(
             jnp.asarray(prompt_lens),
             jnp.asarray(sot_pos),
             jnp.asarray(max_length, dtype=jnp.int32),
-            jax.random.PRNGKey(rng_seed),
+            jax.random.PRNGKey(
+                # CT2 sampling is stochastic per call: draw fresh OS
+                # entropy unless the caller pins a seed (tests).  The key
+                # is a traced array, so per-call seeds do not recompile.
+                np.random.SeedSequence().entropy % (2**63)
+                if rng_seed is None
+                else rng_seed
+            ),
         )
         return PendingGeneration("sample", arrays, prompt_lens, length_penalty)
 

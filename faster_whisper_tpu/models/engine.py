@@ -276,6 +276,7 @@ class WhisperEngine:
         max_initial_timestamp_index: int = 50,
         sampling_temperature: float = 1.0,
         sampling_topk: int = 1,
+        rng_seed=None,
     ) -> List[WhisperGenerationResult]:
         return generate_collect(
             self.generate_dispatch(
@@ -295,6 +296,7 @@ class WhisperEngine:
                 max_initial_timestamp_index=max_initial_timestamp_index,
                 sampling_temperature=sampling_temperature,
                 sampling_topk=sampling_topk,
+                rng_seed=rng_seed,
             )
         )
 
@@ -317,6 +319,7 @@ class WhisperEngine:
         max_initial_timestamp_index: int = 50,
         sampling_temperature: float = 1.0,
         sampling_topk: int = 1,
+        rng_seed=None,
     ):
         """Async half of ``generate``: enqueues the decode on the device
         stream and returns a PendingGeneration; ``generate_collect``
@@ -346,6 +349,7 @@ class WhisperEngine:
             max_initial_timestamp_index=max_initial_timestamp_index,
             sampling_temperature=sampling_temperature,
             sampling_topk=sampling_topk,
+            rng_seed=rng_seed,
             num_hypotheses=num_hypotheses,
             with_timestamps=with_timestamps,
             kv_int8=self.kv_int8,

@@ -161,6 +161,29 @@ class WhisperModel:
         self.logger = get_logger()
         enable_compilation_cache()
 
+        # API-parity arguments that have no TPU meaning are accepted but
+        # ignored (reference: transcribe.py:620-722 forwards them to CT2).
+        # Warn when a caller sets one to a non-default value so the intent
+        # mismatch is visible instead of silent.
+        if device not in ("auto", "tpu"):
+            self.logger.warning(
+                "device=%r is ignored: inference always runs on the JAX "
+                "TPU/default backend (use device_index=[...] to use "
+                "multiple chips).", device,
+            )
+        if cpu_threads:
+            self.logger.warning(
+                "cpu_threads=%d is ignored: XLA manages host threading.",
+                cpu_threads,
+            )
+        if num_workers != 1:
+            self.logger.warning(
+                "num_workers=%d is ignored: concurrent transcribe() calls "
+                "share one compiled program per shape; use "
+                "BatchedInferencePipeline or device_index=[...] for "
+                "parallel throughput.", num_workers,
+            )
+
         tokenizer_bytes, preprocessor_bytes = None, None
         if files:
             # in-memory loading (reference: transcribe.py:662-676)

@@ -334,6 +334,29 @@ def test_beam_search_kv_int8_close_to_bf16(tiny_model):
     assert abs(q.scores[0] - ref.scores[0]) < 0.35
 
 
+def test_sampling_entropy_fresh_by_default_and_seedable(tiny_model):
+    """CT2 sampling is stochastic per call: without rng_seed two calls
+    must draw different keys (fresh OS entropy), while a pinned rng_seed
+    reproduces exactly."""
+    from faster_whisper_tpu.generation.generate import generate
+
+    cfg, params, tok, meta, xa = tiny_model
+
+    def run(**kw):
+        res = generate(
+            params, cfg, meta, xa, [tok.sot_sequence], sot_id=tok.sot,
+            beam_size=1, sampling_temperature=1.5, sampling_topk=0,
+            num_hypotheses=4, max_length=32, with_timestamps=True, **kw,
+        )[0]
+        return [tuple(s) for s in res.sequences_ids]
+
+    a, b = run(rng_seed=11), run(rng_seed=11)
+    assert a == b
+    # 4 hypotheses x 20+ steps at T=1.5 over a ~500-token vocab: two
+    # unseeded calls colliding is astronomically unlikely.
+    assert run() != run()
+
+
 def test_sampling_kv_int8_runs(tiny_model):
     from faster_whisper_tpu.generation.generate import generate
 
