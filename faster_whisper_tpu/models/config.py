@@ -25,8 +25,9 @@ class WhisperConfig:
     n_text_head: int = 6
     n_text_layer: int = 4
     # (layer, head) pairs of cross-attention heads that track time alignment;
-    # used for word-level timestamps (DTW).  Empty -> use the lower half of
-    # the decoder layers' heads, the openai default fallback.
+    # used for word-level timestamps (DTW).  Empty -> use every head of the
+    # upper half of the decoder layers, the openai default fallback
+    # (engine.py::_alignment_heads).
     alignment_heads: Tuple[Tuple[int, int], ...] = ()
     # None -> infer from vocabulary size (multilingual vocabs are >= 51865,
     # which is how the reference's CT2 models flag it); tests override.

@@ -1,10 +1,12 @@
 """Multi-head attention for TPU.
 
 The XLA path below is already MXU-friendly (two batched matmuls with an
-f32-accumulated softmax between); ops/flash_attention.py provides a Pallas
-fused kernel for the encoder's 1500-state self-attention where HBM traffic
-on the (S, S) score matrix dominates.  This module picks the right
-implementation per call site.
+f32-accumulated softmax between), and it is the production path for every
+shape this model runs: measured on v5e at the encoder's shapes (B=8,
+H=20, S=1500, D=64), XLA's lowering beats the stock Pallas flash kernel
+~2.6x (see _flash_enabled), so the flash route stays opt-in via
+FWT_FLASH=1 and would only pay off at much longer sequences than Whisper
+ever produces.
 
 Replaces the attention kernels inside CTranslate2's C++ engine
 (reference consumes them via ctranslate2.models.Whisper.encode/generate,
@@ -68,11 +70,12 @@ def _flash_enabled() -> bool:
 def mha_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Unmasked full MHA (encoder self-attention), (B, S, H, D) layout.
 
-    On TPU, long sequences route to the fused Pallas flash-attention
-    kernel: the (S, S) f32 score matrix never hits HBM, which at the
-    encoder's S=1500 removes ~3 full-score-matrix passes per layer — the
-    dominant encoder cost (measured ~20 ms/layer plain vs ~1 ms fused at
-    B=8 on v5e).
+    Production path: the plain XLA attention above (measured ~5 ms/layer
+    at the encoder's B=8, H=20, S=1500, D=64 on v5e).  With FWT_FLASH=1
+    it routes long sequences to the stock Pallas flash kernel instead —
+    measured ~13 ms/layer at the same shapes, i.e. SLOWER here (XLA
+    already avoids materializing the (S, S) scores naively), kept only
+    as an escape hatch for future much-longer-S experiments.
     """
     s = q.shape[1]
     if _flash_enabled() and s >= 1024 and k.shape[1] == s:
