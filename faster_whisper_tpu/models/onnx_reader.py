@@ -108,3 +108,103 @@ def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
             name, arr = _tensor(v)
             out[name] = arr
     return out
+
+
+def _attribute(buf: bytes):
+    """AttributeProto: 1=name 2=f(no; f is 2? see below) — field numbers per
+    onnx.proto3: 1=name, 2=f? NO: 2 is unused; actual: 1=name, 20=type,
+    2=f(float,wt5), 3=i(int64,wt0), 4=s(bytes), 5=t(tensor), 7=floats,
+    8=ints, 9=strings."""
+    name, val = "", None
+    ints: List[int] = []
+    floats: List[float] = []
+    for fno, wt, v in _fields(buf):
+        if fno == 1:
+            name = v.decode("utf-8")
+        elif fno == 2 and wt == 5:
+            val = np.frombuffer(v, "<f4")[0]
+        elif fno == 3 and wt == 0:
+            # int64 varints are two's-complement encoded
+            val = v - (1 << 64) if v >= (1 << 63) else v
+        elif fno == 4 and wt == 2:
+            val = v.decode("utf-8", errors="replace")
+        elif fno == 5 and wt == 2:
+            val = _tensor(v)[1]
+        elif fno == 7:
+            floats.append(np.frombuffer(v, "<f4")[0] if isinstance(v, bytes) else v)
+        elif fno == 8 and wt == 0:
+            ints.append(v - (1 << 64) if v >= (1 << 63) else v)
+    if ints:
+        val = ints
+    elif floats:
+        val = floats
+    return name, val
+
+
+class OnnxNode:
+    """One graph node: op_type, input/output names, attribute dict."""
+
+    __slots__ = ("op_type", "name", "inputs", "outputs", "attrs")
+
+    def __init__(self, op_type, name, inputs, outputs, attrs):
+        self.op_type = op_type
+        self.name = name
+        self.inputs = inputs
+        self.outputs = outputs
+        self.attrs = attrs
+
+    def __repr__(self):
+        return f"OnnxNode({self.op_type}, in={self.inputs}, out={self.outputs})"
+
+
+def _node(buf: bytes) -> OnnxNode:
+    """NodeProto: 1=input(rep) 2=output(rep) 3=name 4=op_type 5=attribute."""
+    ins, outs, name, op = [], [], "", ""
+    attrs = {}
+    for fno, wt, v in _fields(buf):
+        if fno == 1:
+            ins.append(v.decode("utf-8"))
+        elif fno == 2:
+            outs.append(v.decode("utf-8"))
+        elif fno == 3:
+            name = v.decode("utf-8")
+        elif fno == 4:
+            op = v.decode("utf-8")
+        elif fno == 5:
+            aname, aval = _attribute(v)
+            attrs[aname] = aval
+    return OnnxNode(op, name, ins, outs, attrs)
+
+
+def _value_info_name(buf: bytes) -> str:
+    for fno, wt, v in _fields(buf):
+        if fno == 1:
+            return v.decode("utf-8")
+    return ""
+
+
+def read_onnx_graph(path: str):
+    """Full graph walk: (nodes, initializers, input_names, output_names).
+
+    Used by the test-suite's numpy reference evaluator to execute the
+    bundled Silero graph independently of the hand-written JAX port
+    (tests/test_vad.py), standing in for onnxruntime golden probs in
+    hermetic environments (reference runtime: faster_whisper/vad.py:296-314).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    graphs = [v for fno, wt, v in _fields(data) if fno == 7 and wt == 2]
+    if not graphs:
+        raise ValueError(f"{path} does not look like an ONNX ModelProto")
+    nodes, inits, in_names, out_names = [], {}, [], []
+    for fno, wt, v in _fields(graphs[0]):
+        if fno == 1 and wt == 2:
+            nodes.append(_node(v))
+        elif fno == 5 and wt == 2:
+            name, arr = _tensor(v)
+            inits[name] = arr
+        elif fno == 11 and wt == 2:
+            in_names.append(_value_info_name(v))
+        elif fno == 12 and wt == 2:
+            out_names.append(_value_info_name(v))
+    return nodes, inits, in_names, out_names

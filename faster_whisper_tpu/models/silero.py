@@ -128,7 +128,20 @@ def _vad_forward_audio(weights: dict, audio: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=())
 def _vad_forward(weights: dict, windows: jax.Array) -> jax.Array:
-    """windows: (N, 576) f32 -> speech probabilities (N,) f32."""
+    """windows: (N, 576) f32 -> speech probabilities (N,) f32.
+
+    Runs at HIGHEST matmul precision: with the TPU default (bf16-rounded
+    f32 matmuls) the probabilities drift up to ~0.4 from the ONNX
+    reference over the LSTM recurrence — enough to flip hysteresis
+    decisions near the 0.5/0.35 thresholds — while exact f32 costs only
+    ~5% of VAD time (~40 ms per 13 min of audio, measured on v5e).
+    Parity is pinned by tests/test_silero_onnx_parity.py.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _vad_forward_impl(weights, windows)
+
+
+def _vad_forward_impl(weights: dict, windows: jax.Array) -> jax.Array:
     n = windows.shape[0]
 
     x = jnp.pad(windows, ((0, 0), (128, 128)), mode="reflect")  # (N, 832)
