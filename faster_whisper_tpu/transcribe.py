@@ -471,7 +471,10 @@ class WhisperModel:
                     language_probability,
                     all_language_probs,
                 ) = self.detect_language(
-                    features=np.asarray(features)[..., seek:],
+                    # device-resident slice: detect_language and
+                    # pad_or_trim handle jax arrays, so the 13-min
+                    # feature array never round-trips to the host
+                    features=features[..., seek:],
                     language_detection_segments=language_detection_segments,
                     language_detection_threshold=language_detection_threshold,
                 )
@@ -1659,12 +1662,24 @@ class BatchedInferencePipeline:
                 language_probability = 1
             else:
                 # the reference concatenates the *unpadded* per-chunk
-                # features plus a dummy column (transcribe.py:481-490)
+                # features plus a dummy column (transcribe.py:481-490).
+                # detect_language truncates to language_detection_segments
+                # windows, so only the prefix of chunks covering that many
+                # frames ever leaves the device — not all N chunks.
                 hop = self.model.feature_extractor.hop_length
-                feats_np = np.asarray(features) if len(features) else None
+                nb_max = self.model.feature_extractor.nb_max_frames
+                unpadded_lens = [
+                    max((cl + 160) // hop - 1, 0) for cl in chunk_lengths
+                ]
+                n_take, frames_taken = 0, 0
+                while n_take < len(unpadded_lens) and frames_taken < (
+                    language_detection_segments * nb_max
+                ):
+                    frames_taken += unpadded_lens[n_take]
+                    n_take += 1
+                feats_np = np.asarray(features[:n_take]) if n_take else None
                 unpadded = [
-                    feats_np[i][:, : max((chunk_lengths[i] + 160) // hop - 1, 0)]
-                    for i in range(len(chunk_lengths))
+                    feats_np[i][:, : unpadded_lens[i]] for i in range(n_take)
                 ] if feats_np is not None else []
                 (
                     language,
