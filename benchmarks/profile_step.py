@@ -1,0 +1,225 @@
+"""Per-component timing of the beam-search decode step at bench shapes.
+
+Times, on the real chip (large-v3, int8 weights + int8 KV, B=8, K=5,
+P=32, ctx=192 — the headline bench's decode configuration):
+
+  1. the full beam_search program (per-step cost),
+  2. the decoder step alone (model compute + cache read/write),
+  3. the selection logic alone (logits rules, log_softmax, top-k,
+     finished-pool and ancestry bookkeeping on dummy logits).
+
+(2) + (3) ~ (1); the gap is fusion/latency overhead.  All loops run
+in-jit (lax.fori_loop / while_loop) and sync with a scalar pull, because
+single-op timings through a tunneled chip are meaningless.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_whisper_tpu.generation.generate import (
+    GenOptions,
+    _expand_caches,
+    _gen_decoder_step,
+    beam_search,
+)
+from faster_whisper_tpu.generation.processors import (
+    NEG_INF,
+    ProcessorOptions,
+    TokenMeta,
+    apply_logits_rules,
+)
+from faster_whisper_tpu.models.config import CONFIGS
+from faster_whisper_tpu.models.load import random_params_device
+from faster_whisper_tpu.models.model import decoder_prefill
+from faster_whisper_tpu.ops.quant import quantize_params
+
+B = int(os.environ.get("PROF_B", "8"))
+K = int(os.environ.get("PROF_K", "5"))
+P = 32
+CTX = int(os.environ.get("PROF_CTX", "192"))
+STEPS = int(os.environ.get("PROF_STEPS", "128"))
+MODEL = os.environ.get("PROF_MODEL", "large-v3")
+
+
+def sync(x):
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    sync(out if not isinstance(out, tuple) else out[0])
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        sync(out if not isinstance(out, tuple) else out[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    config = CONFIGS[MODEL]
+    params = random_params_device(config, seed=0, dtype="bfloat16")
+    params = quantize_params(params)
+    V = config.n_vocab
+
+    meta = TokenMeta(
+        eot=50257, timestamp_begin=50365, no_timestamps=50364,
+        no_speech=50363, blank=(220,), vocab_size=V,
+    )
+    gen_opts = GenOptions(
+        beam_size=K, num_finished=K, length_penalty=1.0, ctx_cap=CTX,
+        kv_int8=True,
+    )
+    proc_opts = ProcessorOptions(
+        suppress_blank=True, suppress_tokens=tuple(range(1, 40)),
+        with_timestamps=True, max_initial_timestamp_index=50,
+    )
+
+    rng = np.random.default_rng(0)
+    xa = jnp.asarray(
+        rng.standard_normal((B, 1500, config.n_text_state)), jnp.bfloat16
+    )
+    prompt = np.zeros((B, P), np.int32)
+    prompt[:, :4] = [50258, 50259, 50359, 50364]
+    prompt_len = np.full((B,), 4, np.int32)
+    sot_pos = np.zeros((B,), np.int32)
+
+    # ---- 1. full beam_search ----
+    t = timeit(
+        lambda: beam_search(
+            params, config, gen_opts, proc_opts, meta, xa,
+            jnp.asarray(prompt), jnp.asarray(prompt_len),
+            jnp.asarray(sot_pos), jnp.asarray(P + STEPS, jnp.int32),
+        )
+    )
+    print(f"full beam_search ({STEPS} steps): {t*1e3:.1f} ms "
+          f"-> {t/STEPS*1e3:.2f} ms/step")
+
+    # ---- shared state for isolation runs ----
+    gather = jnp.stack(
+        [jnp.asarray(prompt_len - 1), jnp.asarray(sot_pos)], axis=1
+    )
+    first_logits, cache0 = decoder_prefill(
+        params, config, jnp.asarray(prompt), jnp.asarray(prompt_len), xa,
+        gather, ctx=CTX,
+    )
+    self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, True)
+    anc = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, CTX)
+    )
+
+    # ---- 2. decoder step only, STEPS iterations in one jit ----
+    # NB: params/caches MUST be jit arguments: closed-over arrays embed as
+    # constants in the serialized HLO, and a ~2 GB proto wedges the
+    # remote-compile relay.
+    @jax.jit
+    def decoder_only(params, self_k, self_v, cross_k, cross_v, anc):
+        def body(i, carry):
+            self_k, self_v, acc = carry
+            tok = jnp.full((B, K), 100 + i, jnp.int32)
+            pos = jnp.full((B, K), 4, jnp.int32) + i
+            logits, self_k, self_v = _gen_decoder_step(
+                params, config, tok, pos, self_k, self_v,
+                cross_k, cross_v, anc=anc,
+            )
+            return self_k, self_v, acc + jnp.sum(logits[:, 0, :8])
+
+        _, _, acc = jax.lax.fori_loop(
+            0, STEPS, body, (self_k, self_v, jnp.float32(0))
+        )
+        return acc
+
+    t2 = timeit(decoder_only, params, self_k, self_v, cross_k, cross_v, anc)
+    print(f"decoder step only: {t2*1e3:.1f} ms -> {t2/STEPS*1e3:.2f} ms/step")
+
+    # ---- 3. selection only ----
+    tokens0 = jnp.zeros((B, K, CTX), jnp.int32).at[:, :, :P].set(
+        jnp.asarray(prompt)[:, None, :]
+    )
+    logits0 = jnp.asarray(
+        rng.standard_normal((B, K, V)), jnp.float32
+    )
+
+    @jax.jit
+    def selection_only(tokens, logits):
+        # all large operands arrive as arguments; only scalars close over
+        lens = jnp.full((B, K), 4, jnp.int32)
+        sum_lp = jnp.zeros((B, K), jnp.float32)
+        fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
+        fin_tokens = jnp.zeros((B, K, CTX), jnp.int32)
+        fin_lens = jnp.zeros((B, K), jnp.int32)
+        b_idx = jnp.arange(B)[:, None]
+        pl = jnp.full((B,), 4, jnp.int32)
+
+        def body(i, carry):
+            tokens, lens, sum_lp, fin_tokens, fin_lens, fin_scores, acc = carry
+            flat_begin = jnp.broadcast_to(pl[:, None], (B, K)).reshape(B * K)
+            masked = apply_logits_rules(
+                (logits + acc).reshape(B * K, V),
+                tokens.reshape(B * K, CTX),
+                (lens + i).reshape(B * K),
+                flat_begin, meta, proc_opts,
+            ).reshape(B, K, V)
+            logprobs = jax.nn.log_softmax(masked, axis=-1)
+            total = sum_lp[:, :, None] + logprobs
+            cand_val, cand_idx = jax.lax.top_k(total.reshape(B, K * V), 2 * K)
+            cand_beam = cand_idx // V
+            cand_tok = cand_idx % V
+            is_eot = cand_tok == meta.eot
+            gen_len = jnp.take_along_axis(lens, cand_beam, axis=1) - 0
+            norm = cand_val / jnp.maximum(gen_len, 1).astype(jnp.float32)
+            eot_scores = jnp.where(is_eot, norm, NEG_INF)
+            all_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)
+            cand_buf = jnp.take_along_axis(tokens, cand_beam[:, :, None], axis=1)
+            all_bufs = jnp.concatenate([fin_tokens, cand_buf], axis=1)
+            all_lens = jnp.concatenate(
+                [fin_lens, jnp.take_along_axis(lens, cand_beam, axis=1)], axis=1
+            )
+            top_scores, top_idx = jax.lax.top_k(all_scores, K)
+            fin_tokens2 = jnp.take_along_axis(all_bufs, top_idx[:, :, None], axis=1)
+            fin_lens2 = jnp.take_along_axis(all_lens, top_idx, axis=1)
+            keep = ~is_eot
+            rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+            slot = jnp.where(keep & (rank <= K), rank - 1, K)
+            new_beam = jnp.zeros((B, K + 1), jnp.int32)
+            new_tok = jnp.zeros((B, K + 1), jnp.int32)
+            new_cum = jnp.full((B, K + 1), NEG_INF, jnp.float32)
+            new_beam = new_beam.at[b_idx, slot].set(cand_beam, mode="drop")
+            new_tok = new_tok.at[b_idx, slot].set(cand_tok, mode="drop")
+            new_cum = new_cum.at[b_idx, slot].set(cand_val, mode="drop")
+            parent = new_beam[:, :K]
+            tokens2 = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
+            lens2 = jnp.take_along_axis(lens, parent, axis=1)
+            wp = jnp.clip(lens2, 0, CTX - 1)
+            tokens2 = tokens2.at[b_idx, jnp.arange(K)[None, :], wp].set(
+                new_tok[:, :K]
+            )
+            return (
+                tokens2, lens2 + 1, new_cum[:, :K], fin_tokens2, fin_lens2,
+                top_scores, acc + jnp.float32(1e-6) * cand_val[0, 0],
+            )
+
+        out = jax.lax.fori_loop(
+            0, STEPS, body,
+            (tokens0, jnp.full((B, K), 4, jnp.int32), jnp.zeros((B, K)),
+             fin_tokens, fin_lens, fin_scores, jnp.float32(0)),
+        )
+        return out[-1]
+
+    t3 = timeit(selection_only, tokens0, logits0)
+    print(f"selection only: {t3*1e3:.1f} ms -> {t3/STEPS*1e3:.2f} ms/step")
+    print(f"sum(2+3) = {(t2+t3)/STEPS*1e3:.2f} ms/step vs full "
+          f"{t/STEPS*1e3:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,7 @@ from faster_whisper_tpu.generation.processors import (
     NEG_INF,
     ProcessorOptions,
     TokenMeta,
-    apply_logits_rules,
+    apply_logits_rules_logprobs,
 )
 from faster_whisper_tpu.ops.quant import QuantKV, quantize_kv
 from faster_whisper_tpu.models.config import WhisperConfig
@@ -355,7 +355,7 @@ def beam_search(
          fin_tokens, fin_lens, fin_scores, done) = state
 
         flat_begin = jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(b * K)
-        masked = apply_logits_rules(
+        logprobs = apply_logits_rules_logprobs(
             cur_logits.reshape(b * K, V),
             tokens.reshape(b * K, ctx),
             lens.reshape(b * K),
@@ -363,7 +363,6 @@ def beam_search(
             meta,
             proc_opts,
         ).reshape(b, K, V)
-        logprobs = jax.nn.log_softmax(masked, axis=-1)
 
         total = sum_lp[:, :, None] + logprobs  # (B, K, V)
         cand_val, cand_idx = jax.lax.top_k(total.reshape(b, K * V), 2 * K)
@@ -530,7 +529,7 @@ def sample(
         tokens, lens, sum_lp, finished, self_k, self_v, cur_logits, key = state
 
         flat_begin = jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(-1)
-        masked = apply_logits_rules(
+        logprobs = apply_logits_rules_logprobs(
             cur_logits.reshape(b * K, V),
             tokens.reshape(b * K, ctx),
             lens.reshape(b * K),
@@ -539,10 +538,11 @@ def sample(
             proc_opts,
         ).reshape(b, K, V)
 
-        # Scores use the T=1 distribution (openai semantics); sampling uses
-        # logits / temperature (sampling_topk optional).
-        logprobs = jax.nn.log_softmax(masked, axis=-1)
-        sample_logits = masked / temp
+        # Scores use the T=1 distribution (openai semantics); sampling from
+        # softmax(logprobs / T) equals softmax(masked_logits / T) — the
+        # per-row log-normalizer is a constant shift, so one softmax serves
+        # both the score bookkeeping and the sampling distribution.
+        sample_logits = logprobs / temp
         if gen_opts.sampling_topk > 0:
             kth = jax.lax.top_k(sample_logits, gen_opts.sampling_topk)[0][..., -1:]
             sample_logits = jnp.where(sample_logits < kth, NEG_INF, sample_logits)

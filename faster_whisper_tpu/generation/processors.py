@@ -60,6 +60,63 @@ def apply_logits_rules(
     opts: ProcessorOptions,
 ) -> jax.Array:
     """Apply the full rule chain; returns masked/penalized logits (R, V)."""
+    masked = _apply_masks(logits, tokens, cur_len, sample_begin, meta, opts)
+    if opts.with_timestamps:
+        # If the total timestamp probability beats every text token,
+        # only timestamps may be sampled.
+        v = logits.shape[1]
+        is_ts = jnp.arange(v, dtype=jnp.int32)[None, :] >= meta.timestamp_begin
+        lp = jax.nn.log_softmax(masked, axis=-1)
+        ts_lse = jax.nn.logsumexp(jnp.where(is_ts, lp, NEG_INF), axis=-1)
+        max_text = jnp.max(jnp.where(is_ts, NEG_INF, lp), axis=-1)
+        force_ts = (ts_lse > max_text)[:, None]
+        masked = jnp.where(force_ts & ~is_ts, NEG_INF, masked)
+    return masked
+
+
+def apply_logits_rules_logprobs(
+    logits: jax.Array,  # (R, V) f32
+    tokens: jax.Array,
+    cur_len: jax.Array,
+    sample_begin: jax.Array,
+    meta: TokenMeta,
+    opts: ProcessorOptions,
+) -> jax.Array:
+    """Rule chain fused with the log-softmax: returns final LOG-PROBS.
+
+    Mathematically identical to ``log_softmax(apply_logits_rules(...))``
+    but with a single softmax pass: the force-timestamp rule masks text
+    tokens to -inf, and a log-softmax restricted to the surviving
+    timestamp tokens is just ``lp - logsumexp(lp[timestamps])`` — a shift,
+    not a second normalization.  This is what the decode loops use; the
+    unfused variant above stays for rule-parity tests and external
+    callers that need logits.
+    """
+    masked = _apply_masks(logits, tokens, cur_len, sample_begin, meta, opts)
+    lp = jax.nn.log_softmax(masked, axis=-1)
+    if opts.with_timestamps:
+        v = logits.shape[1]
+        is_ts = jnp.arange(v, dtype=jnp.int32)[None, :] >= meta.timestamp_begin
+        ts_lse = jax.nn.logsumexp(jnp.where(is_ts, lp, NEG_INF), axis=-1)
+        max_text = jnp.max(jnp.where(is_ts, NEG_INF, lp), axis=-1)
+        force_ts = ts_lse > max_text
+        lp = jnp.where(
+            force_ts[:, None],
+            jnp.where(is_ts, lp - ts_lse[:, None], NEG_INF),
+            lp,
+        )
+    return lp
+
+
+def _apply_masks(
+    logits: jax.Array,
+    tokens: jax.Array,
+    cur_len: jax.Array,
+    sample_begin: jax.Array,
+    meta: TokenMeta,
+    opts: ProcessorOptions,
+) -> jax.Array:
+    """All rules except the force-timestamp probability rule."""
     r, v = logits.shape
     vocab_ids = jnp.arange(v, dtype=jnp.int32)[None, :]  # (1, V)
     n_sampled = cur_len - sample_begin  # (R,)
@@ -161,13 +218,5 @@ def apply_logits_rules(
         if opts.max_initial_timestamp_index is not None:
             cap = tsb + opts.max_initial_timestamp_index
             logits = jnp.where(at_begin & (vocab_ids > cap), NEG_INF, logits)
-
-        # If the total timestamp probability beats every text token,
-        # only timestamps may be sampled.
-        lp = jax.nn.log_softmax(logits, axis=-1)
-        ts_lse = jax.nn.logsumexp(jnp.where(is_ts, lp, NEG_INF), axis=-1)
-        max_text = jnp.max(jnp.where(is_ts, NEG_INF, lp), axis=-1)
-        force_ts = (ts_lse > max_text)[:, None]
-        logits = jnp.where(force_ts & ~is_ts, NEG_INF, logits)
 
     return logits
