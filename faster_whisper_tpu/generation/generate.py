@@ -17,12 +17,13 @@ Layout decisions (TPU-first):
   * Beams live on a (B, K) grid.  Cross-attention K/V over the 1500 encoder
     states is computed once per window and *shared* across beams (queries
     broadcast against it), so beam search does not tile the big cross cache.
-  * The per-beam self-attention cache is (L, B, K, ctx, H, D) and is
-    append-only per slot: beam re-parenting permutes a (B, K, ctx)
+  * The per-beam self-attention cache is head-major (L, B, H, K, ctx, D)
+    and is append-only per slot: beam re-parenting permutes a (B, K, ctx)
     ancestry table and self-attention masks across slots, so the cache is
     never physically reordered (its full-cache read+write was the
     dominant beam overhead).  Optional int8 K/V storage halves the
-    per-step cache read.
+    per-step cache read.  On TPU the append+attend runs as one fused
+    Pallas kernel with the cache aliased in place (ops/beam_attention.py).
   * Prompts are right-padded to a bucketed length; positions/masks carry the
     true lengths.  One compiled program per (B, K, prompt-bucket, flags).
 """
@@ -41,6 +42,11 @@ from faster_whisper_tpu.generation.processors import (
     ProcessorOptions,
     TokenMeta,
     apply_logits_rules_logprobs,
+)
+from faster_whisper_tpu.ops.beam_attention import (
+    beam_attend_append,
+    beam_attend_append_xla,
+    cross_attend,
 )
 from faster_whisper_tpu.ops.quant import QuantKV, quantize_kv
 from faster_whisper_tpu.models.config import WhisperConfig
@@ -77,6 +83,10 @@ class GenOptions:
     # halves the decode loop's dominant HBM term.  Enabled for int8
     # compute types (the user already opted into quantization).
     kv_int8: bool = False
+    # Fused Pallas append+attend kernel for the decode self-attention
+    # (ops/beam_attention.py).  On by default on a single TPU chip; the
+    # pure-XLA reference runs on CPU and under multi-device meshes.
+    fused_attn: bool = False
 
 
 class WhisperGenerationResult:
@@ -108,48 +118,44 @@ def _gen_decoder_step(
     config: WhisperConfig,
     token: jax.Array,  # (B, K) token ids
     pos: jax.Array,  # (B, K) absolute positions
-    self_k: jax.Array,  # (L, B, K, ctx, H, D)
+    pos_row: jax.Array,  # (B,) per-row write position (pos of active beams)
+    self_k: jax.Array,  # (L, B, H, K, ctx, D), head-major
     self_v: jax.Array,
-    cross_k: jax.Array,  # (L, B, T, H, D) shared across beams
+    cross_k: jax.Array,  # (L, B, H, T, D) shared across beams
     cross_v: jax.Array,
-    anc: Optional[jax.Array] = None,  # (B, K, ctx) ancestry slot map
+    anc: jax.Array,  # (B, K, ctx) ancestry slot map (identity when sampling)
+    fused: bool = False,  # static: use the Pallas fused attention kernel
 ):
     """One decode step over the beam grid.
 
-    Layers run under a fori_loop with the KV cache carried whole and
-    updated via in-place dynamic_update_slice slivers: a lax.scan with the
-    cache as xs/ys restacks (i.e. fully copies) both cache tensors every
-    step, which doubles the step's HBM traffic at large model sizes.
+    Layers run under a fori_loop with the KV cache carried whole: a
+    lax.scan with the cache as xs/ys restacks (i.e. fully copies) both
+    cache tensors every step, which doubles the step's HBM traffic at
+    large model sizes.
 
-    When ``anc`` is given, beam search's cache re-parenting is virtual: the
-    K/V written at position c for the chain now owned by beam k live in
-    slot ``anc[b, k, c]``, and self-attention attends over ALL K slots with
-    an ancestry mask instead of a physically reordered cache.  The whole
-    per-batch cache is read once per step either way (the K query beams
-    share it), so this removes the reorder's full-cache read+write traffic
-    — the dominant beam-search overhead at large model sizes — for a K×
-    increase in the (tiny, MXU-bound) QK^T/PV contractions.
+    Beam re-parenting is virtual: the K/V written at position c for the
+    chain now owned by beam k live in slot ``anc[b, k, c]``, and
+    self-attention attends over ALL K slots with an ancestry mask instead
+    of a physically reordered cache (the reorder's full-cache read+write
+    was the dominant beam-search overhead).  The sampling path passes the
+    identity ancestry.
+
+    The append-then-attend itself runs as a fused Pallas kernel on TPU
+    (``fused=True``; ops/beam_attention.py — any cache write expressed in
+    plain XLA breaks the softmax-chain fusion and costs ~3x the step's
+    HBM floor) and as the numerically-identical XLA reference elsewhere.
     """
     dec = params["decoder"]
     b, k = token.shape
     n_head = config.n_text_head
     dh = config.n_text_state // n_head
     quant = isinstance(self_k, QuantKV)
-    ctx = (self_k.q if quant else self_k).shape[3]
     L = (self_k.q if quant else self_k).shape[0]
+    scale = dh ** -0.5
     dtype = dec["token_embed"].dtype
 
     x0 = dec["token_embed"][token] + dec["pos_embed"][pos]
     x0 = x0.astype(dtype)  # (B, K, d)
-
-    b_idx = jnp.arange(b)[:, None]
-    k_idx = jnp.arange(k)[None, :]
-    allow = jnp.arange(ctx)[None, None, :] <= pos[:, :, None]  # (B, K, ctx)
-    if anc is not None:
-        # (B, K, J, ctx): position c of beam k's chain lives in slot j
-        sel = anc[:, :, None, :] == jnp.arange(k)[None, None, :, None]
-        allow_j = sel & allow[:, :, None, :]
-    scale = dh ** -0.5
 
     def take(w, i):
         return jax.tree.map(
@@ -157,101 +163,70 @@ def _gen_decoder_step(
         )
 
     layers = dec["layers"]
+    attend = beam_attend_append if fused else functools.partial(
+        beam_attend_append_xla, pos_bk=pos
+    )
 
     def body(i, carry):
         x, self_k, self_v = carry
         p = take(layers, i)
 
-        # self attention over the per-beam cache
+        # self attention over the per-beam cache (fused append + attend)
         h = layer_norm(x, p["ln1_g"], p["ln1_b"])
         sa = p["self_attn"]
         q = _dense(h, sa["wq"], sa["bq"]).reshape(b, k, n_head, dh)
         k_new = _dense(h, sa["wk"]).reshape(b, k, n_head, dh)
         v_new = _dense(h, sa["wv"], sa["bv"]).reshape(b, k, n_head, dh)
-
-        if quant:
-            kq, vq = quantize_kv(k_new), quantize_kv(v_new)
-            self_k = QuantKV(
-                self_k.q.at[i, b_idx, k_idx, pos].set(kq.q),
-                self_k.s.at[i, b_idx, k_idx, pos].set(kq.s),
-            )
-            self_v = QuantKV(
-                self_v.q.at[i, b_idx, k_idx, pos].set(vq.q),
-                self_v.s.at[i, b_idx, k_idx, pos].set(vq.s),
-            )
-            sk = jax.lax.dynamic_index_in_dim(self_k.q, i, 0, keepdims=False)
-            sv = jax.lax.dynamic_index_in_dim(self_v.q, i, 0, keepdims=False)
-            sks = jax.lax.dynamic_index_in_dim(self_k.s, i, 0, keepdims=False)
-            svs = jax.lax.dynamic_index_in_dim(self_v.s, i, 0, keepdims=False)
-            sk, sv = sk.astype(dtype), sv.astype(dtype)
-        else:
-            self_k = self_k.at[i, b_idx, k_idx, pos].set(k_new.astype(self_k.dtype))
-            self_v = self_v.at[i, b_idx, k_idx, pos].set(v_new.astype(self_v.dtype))
-            sk = jax.lax.dynamic_index_in_dim(self_k, i, axis=0, keepdims=False)
-            sv = jax.lax.dynamic_index_in_dim(self_v, i, axis=0, keepdims=False)
-            sks = svs = None
-
-        if anc is None:
-            scores = (
-                jnp.einsum(
-                    "bkhd,bkchd->bkhc", q, sk, preferred_element_type=jnp.float32
-                )
-                * scale
-            )
-            if quant:  # undo K's per-(position, head) scale: (B,K,ctx,H)
-                scores = scores * sks.transpose(0, 1, 3, 2)
-            scores = jnp.where(allow[:, :, None, :], scores, NEG_INF)
-            w = jax.nn.softmax(scores, axis=-1)
-            if quant:
-                w = (w * svs.transpose(0, 1, 3, 2)).astype(dtype)
-            else:
-                w = w.astype(sv.dtype)
-            attn = jnp.einsum("bkhc,bkchd->bkhd", w, sv).reshape(b, k, -1)
-        else:
-            scores = (
-                jnp.einsum(
-                    "bkhd,bjchd->bkhjc", q, sk, preferred_element_type=jnp.float32
-                )
-                * scale
-            )  # (B, K, H, J, ctx)
-            if quant:  # sks: (B, J, ctx, H) -> (B, 1, H, J, ctx)
-                scores = scores * sks.transpose(0, 3, 1, 2)[:, None]
-            scores = jnp.where(allow_j[:, :, None, :, :], scores, NEG_INF)
-            w = jax.nn.softmax(
-                scores.reshape(b, k, n_head, k * ctx), axis=-1
-            ).reshape(b, k, n_head, k, ctx)
-            if quant:
-                w = (w * svs.transpose(0, 3, 1, 2)[:, None]).astype(dtype)
-            else:
-                w = w.astype(sv.dtype)
-            attn = jnp.einsum("bkhjc,bjchd->bkhd", w, sv).reshape(b, k, -1)
+        attn_h, self_k, self_v = attend(
+            i,
+            pos_row,
+            q.transpose(0, 2, 1, 3).astype(dtype),
+            k_new.transpose(0, 2, 1, 3).astype(dtype),
+            v_new.transpose(0, 2, 1, 3).astype(dtype),
+            self_k,
+            self_v,
+            anc,
+        )
+        attn = attn_h.transpose(0, 2, 1, 3).reshape(b, k, -1)
         x = x + _dense(attn, sa["wo"], sa["bo"])
 
         # cross attention: beams are independent queries over shared K/V
+        # (head-major (L, B, H, T, D) cache).  The Pallas cross kernel is
+        # opt-in (FWT_FUSED_CROSS=1): measured on v5e it is int8->bf16
+        # conversion-bound at 4.7 ms/32-layer-step vs XLA's 3.1 ms — XLA
+        # overlaps the upcasts with the layer-slice streaming better.
         h = layer_norm(x, p["ln2_g"], p["ln2_b"])
         cp = p["cross_attn"]
         qx = _dense(h, cp["wq"], cp["bq"]).reshape(b, k, n_head, dh)
-        if quant:
-            ck = jax.lax.dynamic_index_in_dim(cross_k.q, i, 0, keepdims=False)
-            cv = jax.lax.dynamic_index_in_dim(cross_v.q, i, 0, keepdims=False)
-            cks = jax.lax.dynamic_index_in_dim(cross_k.s, i, 0, keepdims=False)
-            cvs = jax.lax.dynamic_index_in_dim(cross_v.s, i, 0, keepdims=False)
-            ck, cv = ck.astype(dtype), cv.astype(dtype)
+        if fused and _fused_cross_enabled():
+            attn_h = cross_attend(
+                i, qx.transpose(0, 2, 1, 3).astype(dtype), cross_k, cross_v
+            )
+            attn = attn_h.transpose(0, 2, 1, 3).reshape(b, k, -1)
         else:
-            ck = jax.lax.dynamic_index_in_dim(cross_k, i, axis=0, keepdims=False)
-            cv = jax.lax.dynamic_index_in_dim(cross_v, i, axis=0, keepdims=False)
-        scores = (
-            jnp.einsum("bkhd,bthd->bkht", qx, ck, preferred_element_type=jnp.float32)
-            * scale
-        )
-        if quant:  # cks: (B, T, H) -> (B, 1, H, T)
-            scores = scores * cks.transpose(0, 2, 1)[:, None]
-        w = jax.nn.softmax(scores, axis=-1)
-        if quant:
-            w = (w * cvs.transpose(0, 2, 1)[:, None]).astype(dtype)
-        else:
-            w = w.astype(cv.dtype)
-        attn = jnp.einsum("bkht,bthd->bkhd", w, cv).reshape(b, k, -1)
+            if quant:
+                ck = jax.lax.dynamic_index_in_dim(cross_k.q, i, 0, keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(cross_v.q, i, 0, keepdims=False)
+                cks = jax.lax.dynamic_index_in_dim(cross_k.s, i, 0, keepdims=False)
+                cvs = jax.lax.dynamic_index_in_dim(cross_v.s, i, 0, keepdims=False)
+                ck, cv = ck.astype(dtype), cv.astype(dtype)
+            else:
+                ck = jax.lax.dynamic_index_in_dim(cross_k, i, 0, keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(cross_v, i, 0, keepdims=False)
+            scores = (
+                jnp.einsum(
+                    "bkhd,bhtd->bkht", qx, ck, preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+            if quant:  # cks: (B, H, 1, T) -> (B, 1, H, T)
+                scores = scores * jnp.swapaxes(cks, 1, 2)
+            w = jax.nn.softmax(scores, axis=-1)
+            if quant:
+                w = (w * jnp.swapaxes(cvs, 1, 2)).astype(dtype)
+            else:
+                w = w.astype(cv.dtype)
+            attn = jnp.einsum("bkht,bhtd->bkhd", w, cv).reshape(b, k, -1)
         x = x + _dense(attn, cp["wo"], cp["bo"])
 
         h = layer_norm(x, p["ln3_g"], p["ln3_b"])
@@ -269,17 +244,28 @@ def _gen_decoder_step(
 def _expand_caches(cache0, K: int, kv_int8: bool):
     """Broadcast the prefill cache to the (B, K) beam grid, optionally
     quantizing both the self and cross K/V to int8 (the decode loop's
-    dominant HBM read is these caches; int8 halves it)."""
+    dominant HBM read is these caches; int8 halves it).
 
-    def bcast(a):  # (L, B, ...) -> (L, B, K, ...)
-        return jnp.broadcast_to(a[:, :, None], a.shape[:2] + (K,) + a.shape[2:])
+    The self cache is head-major: values (L, B, H, ctx, D) ->
+    (L, B, H, K, ctx, D) and int8 scales (L, B, H, ctx) ->
+    (L, B, H, K, ctx), both with the beam axis inserted before ctx
+    (models/model.py::KVCache, ops/beam_attention.py)."""
+
+    def bcast(a):  # (L, B, H, ...) -> (L, B, H, K, ...)
+        return jnp.broadcast_to(
+            a[:, :, :, None], a.shape[:3] + (K,) + a.shape[3:]
+        )
 
     if kv_int8:
         skq, svq = quantize_kv(cache0.self_k), quantize_kv(cache0.self_v)
         self_k = QuantKV(bcast(skq.q), bcast(skq.s))
         self_v = QuantKV(bcast(svq.q), bcast(svq.s))
-        cross_k = QuantKV(*quantize_kv(cache0.cross_k))
-        cross_v = QuantKV(*quantize_kv(cache0.cross_v))
+        # cross scales carry a unit axis -> (L, B, H, 1, T): the fused
+        # kernel's tile-legal block shape, materialized once per window
+        # instead of per layer call
+        ckq, cvq = quantize_kv(cache0.cross_k), quantize_kv(cache0.cross_v)
+        cross_k = QuantKV(ckq.q, ckq.s[:, :, :, None])
+        cross_v = QuantKV(cvq.q, cvq.s[:, :, :, None])
     else:
         self_k, self_v = bcast(cache0.self_k), bcast(cache0.self_v)
         cross_k, cross_v = cache0.cross_k, cache0.cross_v
@@ -437,7 +423,8 @@ def beam_search(
         step_pos = jnp.clip(lens_new - 1, 0, ctx - 1)
         next_logits, self_k_new, self_v_new = _gen_decoder_step(
             params, config, jnp.where(done[:, None], 0, new_tok), step_pos,
-            self_k, self_v, cross_k, cross_v, anc=anc_new,
+            step_pos[:, 0], self_k, self_v, cross_k, cross_v, anc_new,
+            fused=gen_opts.fused_attn,
         )
 
         return (
@@ -518,6 +505,11 @@ def sample(
     self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
+    # Identity ancestry: each sample attends only its own cache slot.
+    anc_id = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (b, K, ctx)
+    )
+
     b_idx = jnp.arange(b)[:, None]
     k_idx = jnp.arange(K)[None, :]
 
@@ -563,15 +555,21 @@ def sample(
         lens = jnp.where(finished | is_eot, lens, lens + 1)
         finished_new = finished | is_eot
 
+        # Active beams share one write position per row (they all advance
+        # together); finished beams' slots receive ignored garbage at that
+        # position on the fused path — their outputs are never read.
         next_logits, self_k, self_v = _gen_decoder_step(
             params,
             config,
             jnp.where(finished_new, 0, next_tok),
             write_pos,
+            jnp.max(write_pos, axis=1),
             self_k,
             self_v,
             cross_k,
             cross_v,
+            anc_id,
+            fused=gen_opts.fused_attn,
         )
 
         return tokens, lens, sum_lp, finished_new, self_k, self_v, next_logits, key
@@ -591,6 +589,27 @@ def sample(
 
 def _bucket(n: int, step: int = 32, cap: int = 448) -> int:
     return min(cap, max(step, -(-n // step) * step))
+
+
+@functools.lru_cache(maxsize=1)
+def _fused_cross_enabled() -> bool:
+    import os
+
+    return os.environ.get("FWT_FUSED_CROSS") == "1"
+
+
+@functools.lru_cache(maxsize=1)
+def _fused_attn_default() -> bool:
+    """Use the Pallas append+attend kernel when decoding on a single TPU
+    chip.  The pure-XLA reference serves CPU (tests, the virtual mesh)
+    and multi-device meshes (pallas_call has no SPMD partitioning rule, so
+    the sharded data-parallel path keeps the XLA step).  FWT_FUSED_ATTN=0
+    forces the XLA step everywhere."""
+    import os
+
+    if os.environ.get("FWT_FUSED_ATTN", "1") == "0":
+        return False
+    return jax.default_backend() in ("tpu", "axon") and jax.device_count() == 1
 
 
 def generate(
@@ -733,6 +752,7 @@ def generate_dispatch(
             sampling_topk=sampling_topk,
             ctx_cap=ctx_cap,
             kv_int8=kv_int8,
+            fused_attn=_fused_attn_default(),
         )
         arrays = sample(
             params,
@@ -763,6 +783,7 @@ def generate_dispatch(
         sampling=False,
         ctx_cap=ctx_cap,
         kv_int8=kv_int8,
+        fused_attn=_fused_attn_default(),
     )
     arrays = beam_search(
         params,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from faster_whisper_tpu.models.config import WhisperConfig
-from faster_whisper_tpu.ops.attention import mha, mha_full
+from faster_whisper_tpu.ops.attention import mha, mha_full, mha_hmajor
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +141,12 @@ def encode(params, config: WhisperConfig, mel: jax.Array) -> jax.Array:
 class KVCache(NamedTuple):
     """Device-resident decoding state.
 
-    self_k/self_v: (L, B, n_text_ctx, H, D) — written as tokens are decoded.
-    cross_k/cross_v: (L, B, n_audio_ctx, H, D) — computed once per window.
+    self_k/self_v: (L, B, H, ctx, D) — written as tokens are decoded.
+    cross_k/cross_v: (L, B, H, T, D) — computed once per window.
+
+    Both head-major so decode-attention blocks have big trailing
+    (positions, D) dims (the fused attention kernels tile those onto
+    VMEM; ops/beam_attention.py).
     """
 
     self_k: jax.Array
@@ -155,9 +159,9 @@ def _decoder_layer(
     x,  # (B, S, d)
     p,  # single layer params
     n_head: int,
-    self_k,  # (B, ctx, H, D) cache slice
+    self_k,  # (B, H, ctx, D) cache slice (head-major)
     self_v,
-    cross_k,  # (B, T, H, D)
+    cross_k,  # (B, H, T, D)
     cross_v,
     self_mask,  # (B, 1, S, ctx) allow-mask over cache positions
     positions,  # (B, S) absolute positions of x's tokens
@@ -166,18 +170,20 @@ def _decoder_layer(
     h = layer_norm(x, p["ln1_g"], p["ln1_b"])
     q, k_new, v_new = _attn_qkv(p["self_attn"], h, n_head)
 
-    # Scatter this block's K/V into the cache at its absolute positions.
+    # Scatter this block's K/V into the cache at its absolute positions
+    # (advanced indices around the sliced H axis land the (B, S) batch
+    # dims up front, so the value keeps k_new's (B, S, H, D) shape).
     b_idx = jnp.arange(x.shape[0])[:, None]
-    self_k = self_k.at[b_idx, positions].set(k_new.astype(self_k.dtype))
-    self_v = self_v.at[b_idx, positions].set(v_new.astype(self_v.dtype))
+    self_k = self_k.at[b_idx, :, positions].set(k_new.astype(self_k.dtype))
+    self_v = self_v.at[b_idx, :, positions].set(v_new.astype(self_v.dtype))
 
-    attn = mha(q, self_k, self_v, mask=self_mask)
+    attn = mha_hmajor(q, self_k, self_v, mask=self_mask)
     x = x + _dense(_merge_heads(attn), p["self_attn"]["wo"], p["self_attn"]["bo"])
 
-    # --- cross attention over encoder states ---
+    # --- cross attention over encoder states (head-major cache) ---
     h = layer_norm(x, p["ln2_g"], p["ln2_b"])
     qx = _split_heads(_dense(h, p["cross_attn"]["wq"], p["cross_attn"]["bq"]), n_head)
-    attn = mha(qx, cross_k, cross_v)
+    attn = mha_hmajor(qx, cross_k, cross_v)
     x = x + _dense(_merge_heads(attn), p["cross_attn"]["wo"], p["cross_attn"]["bo"])
 
     # --- mlp ---
@@ -238,13 +244,14 @@ def init_cache(
         p = layer_params["cross_attn"]
         k = _split_heads(_dense(xa.astype(dtype), p["wk"]), h)
         v = _split_heads(_dense(xa.astype(dtype), p["wv"], p["bv"]), h)
-        return None, (k, v)
+        # head-major (B, H, T, D)
+        return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
     _, (cross_k, cross_v) = jax.lax.scan(body, None, params["decoder"]["layers"])
 
     return KVCache(
-        self_k=jnp.zeros((L, b, ctx, h, dh), dtype),
-        self_v=jnp.zeros((L, b, ctx, h, dh), dtype),
+        self_k=jnp.zeros((L, b, h, ctx, dh), dtype),
+        self_v=jnp.zeros((L, b, h, ctx, dh), dtype),
         cross_k=cross_k,
         cross_v=cross_v,
     )
@@ -306,7 +313,7 @@ def decoder_step(
     x = dec["token_embed"][token] + dec["pos_embed"][pos]
     x = x[:, None, :].astype(dtype)  # (B, 1, d)
 
-    ctx = cache.self_k.shape[2]
+    ctx = cache.self_k.shape[3]
     j = jnp.arange(ctx)[None, None, None, :]
     self_mask = j <= pos[:, None, None, None]  # (B, 1, 1, ctx)
 

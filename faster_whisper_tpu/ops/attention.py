@@ -54,6 +54,30 @@ def mha(
     return out
 
 
+def mha_hmajor(
+    q: jax.Array,  # (B, S, H, D)
+    k: jax.Array,  # (B, H, T, D) head-major (decoder KV-cache layout)
+    v: jax.Array,  # (B, H, T, D)
+    mask: Optional[jax.Array] = None,  # broadcastable to (B, H, S, T), bool
+):
+    """Scaled dot-product attention over a head-major K/V cache.
+
+    Same math as ``mha``; the K/V operands keep the decoder cache's
+    (B, H, T, D) layout (models/model.py::KVCache) so no transpose is
+    materialized on the prefill path.
+    """
+    d = q.shape[-1]
+    scale = d ** -0.5
+    scores = jnp.einsum(
+        "bshd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhst,bhtd->bshd", weights.astype(v.dtype), v)
+
+
 def _flash_enabled() -> bool:
     # Opt-in (FWT_FLASH=1).  Measured on v5e at the encoder's shapes
     # (B=8, H=20, S=1500, D=64): XLA's plain path runs ~5 ms/layer vs ~13

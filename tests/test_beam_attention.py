@@ -1,0 +1,143 @@
+"""Parity tests for the fused beam append+attend kernel.
+
+The Pallas kernel (interpret mode on CPU) must match the pure-XLA
+reference that the CPU/mesh paths run — same writes into the cache, same
+ancestry-masked attention output.  On TPU the same comparison runs
+compiled (tests/test_tpu_kernels.py is the on-chip variant; this file
+covers the math everywhere the suite runs).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from faster_whisper_tpu.ops.beam_attention import (
+    beam_attend_append,
+    beam_attend_append_xla,
+)
+from faster_whisper_tpu.ops.quant import QuantKV, quantize_kv
+
+
+def _setup(quant, B=2, H=4, K=3, CTX=16, D=8, L=3, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, K, D)), dtype)
+    k_new = jnp.asarray(rng.standard_normal((B, H, K, D)), dtype)
+    v_new = jnp.asarray(rng.standard_normal((B, H, K, D)), dtype)
+    k_cache = jnp.asarray(rng.standard_normal((L, B, H, K, CTX, D)), dtype)
+    v_cache = jnp.asarray(rng.standard_normal((L, B, H, K, CTX, D)), dtype)
+    if quant:
+        self_k = QuantKV(*quantize_kv(k_cache))  # s: (L, B, H, K, CTX)
+        self_v = QuantKV(*quantize_kv(v_cache))
+    else:
+        self_k, self_v = k_cache, v_cache
+    # a scrambled but valid ancestry: position c of beam k lives in some slot
+    anc = jnp.asarray(rng.integers(0, K, (B, K, CTX)), jnp.int32)
+    # own current position always lives in the beam's own slot
+    pos = 7
+    anc = anc.at[:, :, pos].set(jnp.arange(K, dtype=jnp.int32)[None, :])
+    pos_row = jnp.full((B,), pos, jnp.int32)
+    return q, k_new, v_new, self_k, self_v, anc, pos_row
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_kernel_matches_xla_reference(quant):
+    q, k_new, v_new, self_k, self_v, anc, pos_row = _setup(quant)
+    layer = jnp.int32(1)
+
+    attn_ref, sk_ref, sv_ref = beam_attend_append_xla(
+        layer, pos_row, q, k_new, v_new, self_k, self_v, anc
+    )
+    attn_ker, sk_ker, sv_ker = beam_attend_append(
+        layer, pos_row, q, k_new, v_new, self_k, self_v, anc, interpret=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(attn_ker), np.asarray(attn_ref), rtol=2e-2, atol=2e-3
+    )
+    if quant:
+        np.testing.assert_array_equal(np.asarray(sk_ker.q), np.asarray(sk_ref.q))
+        np.testing.assert_allclose(
+            np.asarray(sk_ker.s), np.asarray(sk_ref.s), rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(sv_ker.q), np.asarray(sv_ref.q))
+        np.testing.assert_allclose(
+            np.asarray(sv_ker.s), np.asarray(sv_ref.s), rtol=1e-6
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(sk_ker), np.asarray(sk_ref), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sv_ker), np.asarray(sv_ref), rtol=1e-6
+        )
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_kernel_writes_only_the_target_column(quant):
+    q, k_new, v_new, self_k, self_v, anc, pos_row = _setup(quant, seed=3)
+    layer = jnp.int32(2)
+    before_k = np.asarray(self_k.q if quant else self_k).copy()
+
+    _, sk, _ = beam_attend_append(
+        layer, pos_row, q, k_new, v_new, self_k, self_v, anc, interpret=True
+    )
+    after_k = np.asarray(sk.q if quant else sk)
+
+    pos = int(pos_row[0])
+    untouched = np.ones_like(before_k, bool)
+    untouched[2, :, :, :, pos] = False
+    np.testing.assert_array_equal(after_k[untouched], before_k[untouched])
+    assert not np.array_equal(
+        after_k[2, :, :, :, pos], before_k[2, :, :, :, pos]
+    )
+
+
+def test_xla_reference_respects_per_beam_positions():
+    """The sampling path freezes finished beams at their own positions."""
+    q, k_new, v_new, self_k, self_v, anc, pos_row = _setup(False, seed=5)
+    B, K = q.shape[0], q.shape[2]
+    pos_bk = jnp.broadcast_to(pos_row[:, None], (B, K)).at[:, 0].set(3)
+
+    _, sk, _ = beam_attend_append_xla(
+        jnp.int32(0), pos_row, q, k_new, v_new, self_k, self_v, anc,
+        pos_bk=pos_bk,
+    )
+    after = np.asarray(sk)
+    # beam 0 wrote at column 3, the others at pos_row
+    expect0 = np.asarray(k_new)[:, :, 0]
+    np.testing.assert_allclose(after[0, :, :, 0, 3], expect0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_cross_attend_matches_einsum(quant):
+    from faster_whisper_tpu.ops.beam_attention import cross_attend
+
+    rng = np.random.default_rng(7)
+    L, B, H, K, T, D = 3, 2, 4, 3, 32, 8
+    dt = jnp.float32
+    q = jnp.asarray(rng.standard_normal((B, H, K, D)), dt)
+    ck = jnp.asarray(rng.standard_normal((L, B, H, T, D)), dt)
+    cv = jnp.asarray(rng.standard_normal((L, B, H, T, D)), dt)
+    layer = jnp.int32(1)
+    d_scale = D ** -0.5
+
+    if quant:
+        ckq0 = quantize_kv(ck)
+        cvq0 = quantize_kv(cv)
+        ck_l = ckq0.q[1].astype(dt) * ckq0.s[1][..., None]
+        cv_l = cvq0.q[1].astype(dt) * cvq0.s[1][..., None]
+        # canonical cross-scale shape: (L, B, H, 1, T)
+        ckq = QuantKV(ckq0.q, ckq0.s[:, :, :, None])
+        cvq = QuantKV(cvq0.q, cvq0.s[:, :, :, None])
+        out = cross_attend(layer, q, ckq, cvq, interpret=True)
+    else:
+        ck_l, cv_l = ck[1], cv[1]
+        out = cross_attend(layer, q, ck, cv, interpret=True)
+
+    scores = np.einsum("bhkd,bhtd->bhkt", np.asarray(q) * d_scale, ck_l)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhkt,bhtd->bhkd", p, cv_l)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-3)
