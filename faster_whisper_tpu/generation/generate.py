@@ -257,15 +257,18 @@ def _expand_caches(cache0, K: int, kv_int8: bool):
         )
 
     if kv_int8:
+        # scales stored bf16: they are 38% of the decode kernel's reads
+        # at f32, and their rounding (~0.4%) is below the int8 noise
+        sdt = jnp.bfloat16
         skq, svq = quantize_kv(cache0.self_k), quantize_kv(cache0.self_v)
-        self_k = QuantKV(bcast(skq.q), bcast(skq.s))
-        self_v = QuantKV(bcast(svq.q), bcast(svq.s))
+        self_k = QuantKV(bcast(skq.q), bcast(skq.s.astype(sdt)))
+        self_v = QuantKV(bcast(svq.q), bcast(svq.s.astype(sdt)))
         # cross scales carry a unit axis -> (L, B, H, 1, T): the fused
         # kernel's tile-legal block shape, materialized once per window
         # instead of per layer call
         ckq, cvq = quantize_kv(cache0.cross_k), quantize_kv(cache0.cross_v)
-        cross_k = QuantKV(ckq.q, ckq.s[:, :, :, None])
-        cross_v = QuantKV(cvq.q, cvq.s[:, :, :, None])
+        cross_k = QuantKV(ckq.q, ckq.s.astype(sdt)[:, :, :, None])
+        cross_v = QuantKV(cvq.q, cvq.s.astype(sdt)[:, :, :, None])
     else:
         self_k, self_v = bcast(cache0.self_k), bcast(cache0.self_v)
         cross_k, cross_v = cache0.cross_k, cache0.cross_v

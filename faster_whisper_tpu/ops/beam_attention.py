@@ -136,8 +136,12 @@ def _kernel_quant(
     ).astype(jnp.int8)
     # scales: rewrite the whole (HB, K, CTX) row with the new column set
     sc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ctx), 2) == pos
-    kso_ref[0, 0] = jnp.where(sc, ks_new[..., None], ks_ref[0, 0])
-    vso_ref[0, 0] = jnp.where(sc, vs_new[..., None], vs_ref[0, 0])
+    kso_ref[0, 0] = jnp.where(
+        sc, ks_new[..., None], ks_ref[0, 0].astype(jnp.float32)
+    ).astype(kso_ref.dtype)
+    vso_ref[0, 0] = jnp.where(
+        sc, vs_new[..., None], vs_ref[0, 0].astype(jnp.float32)
+    ).astype(vso_ref.dtype)
 
     # ---- attention, statically unrolled over the J beam slots ----
     # Every tensor stays (HB, K, CTX) with CTX on lanes (a K-minor layout
@@ -181,7 +185,7 @@ def _kernel_quant(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (HB, K, CTX)
-        s_j = s_j * ks_ref[0, 0, :, j][:, None]  # K-scale: (HB, 1, CTX)
+        s_j = s_j * ks_ref[0, 0, :, j][:, None].astype(jnp.float32)
         s_j = jnp.where(((k_ids == j) & (c_ids2 == pos))[None], own, s_j)
         s_j = jnp.where(((anc == j) & allow)[None], s_j, _NEG_INF)
         scores_j.append(s_j)
@@ -204,7 +208,7 @@ def _kernel_quant(
             jnp.where(own_sel, p_j, 0.0), axis=-1, keepdims=True
         )
         p_j = jnp.where(own_sel, 0.0, p_j)
-        p_j = p_j * vs_ref[0, 0, :, j][:, None]  # V-scale: (HB, 1, CTX)
+        p_j = p_j * vs_ref[0, 0, :, j][:, None].astype(jnp.float32)
         attn = attn + jax.lax.dot_general(
             p_j.astype(dot_t),
             vq_ref[0, 0, :, j].astype(dot_t),  # (HB, CTX, D)
@@ -451,13 +455,14 @@ def beam_attend_append_xla(
     vn_bk = v_new.transpose(0, 2, 1, 3)
     if quant:
         kq_n, vq_n = quantize_kv(kn_bk), quantize_kv(vn_bk)  # s: (B, K, H)
+        sdt = self_k.s.dtype  # bf16 scale store (see _expand_caches)
         self_k = QuantKV(
             self_k.q.at[layer, b_idx, :, k_idx, pos_bk].set(kq_n.q),
-            self_k.s.at[layer, b_idx, :, k_idx, pos_bk].set(kq_n.s),
+            self_k.s.at[layer, b_idx, :, k_idx, pos_bk].set(kq_n.s.astype(sdt)),
         )
         self_v = QuantKV(
             self_v.q.at[layer, b_idx, :, k_idx, pos_bk].set(vq_n.q),
-            self_v.s.at[layer, b_idx, :, k_idx, pos_bk].set(vq_n.s),
+            self_v.s.at[layer, b_idx, :, k_idx, pos_bk].set(vq_n.s.astype(sdt)),
         )
         sk = jax.lax.dynamic_index_in_dim(self_k.q, layer, 0, keepdims=False)
         sv = jax.lax.dynamic_index_in_dim(self_v.q, layer, 0, keepdims=False)
