@@ -146,10 +146,12 @@ def _vad_forward_impl(weights: dict, windows: jax.Array) -> jax.Array:
 
     x = jnp.pad(windows, ((0, 0), (128, 128)), mode="reflect")  # (N, 832)
 
-    # STFT frames at offsets 128..512 (frame 0 is dropped by the graph).
-    frame_starts = 128 + 128 * jnp.arange(4)
-    idx = frame_starts[:, None] + jnp.arange(256)[None, :]  # (4, 256)
-    frames = x[:, idx]  # (N, 4, 256)
+    # STFT frames at offsets 128..512 (frame 0 is dropped by the graph) —
+    # four static slices, not a gather (a (N, 832) gather of this shape
+    # lowers poorly on TPU).
+    frames = jnp.stack(
+        [x[:, s : s + 256] for s in (128, 256, 384, 512)], axis=1
+    )  # (N, 4, 256)
 
     spec = jnp.einsum(
         "nfs,cs->nfc",
@@ -160,19 +162,43 @@ def _vad_forward_impl(weights: dict, windows: jax.Array) -> jax.Array:
     real, imag = spec[..., :129], spec[..., 129:]
     mag = jnp.sqrt(real * real + imag * imag)  # (N, 4, 129) NWC
 
-    dn = ("NWC", "WIO", "NWC")
-
-    def conv(x, w, b, stride):
-        y = jax.lax.conv_general_dilated(
-            x, w, (stride,), [(1, 1)], dimension_numbers=dn
+    # The k=3 conv tower runs as batched im2col matmuls: at W=4 and
+    # C=129/128 the general conv lowering is latency/layout-bound on TPU
+    # (~0.8 s per 13 min of audio, half the VAD wall-clock); three static
+    # slices + one (N, W_out, 3C) x (3C, C_out) matmul per layer is the
+    # MXU-shaped formulation of the same arithmetic.
+    def conv_k3(h, w, b, out_pos):
+        """h (N, W, C); w (3, C, Cout); out_pos: each output's window
+        start in the zero-padded (W+2) axis (stride folded in here)."""
+        hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
+        cols = jnp.stack(
+            [
+                jnp.concatenate(
+                    [hp[:, p, :], hp[:, p + 1, :], hp[:, p + 2, :]], axis=-1
+                )
+                for p in out_pos
+            ],
+            axis=1,
+        )  # (N, W_out, 3C)
+        wmat = jnp.concatenate([w[0], w[1], w[2]], axis=0)  # (3C, Cout)
+        y = jnp.einsum(
+            "nwc,co->nwo", cols, wmat, preferred_element_type=jnp.float32
         )
         return jax.nn.relu(y + b)
 
-    h = conv(mag, weights["conv0_w"], weights["conv0_b"], 1)  # (N, 4, 128)
-    h = conv(h, weights["conv1_w"], weights["conv1_b"], 2)  # (N, 2, 64)
-    h = conv(h, weights["conv2_w"], weights["conv2_b"], 2)  # (N, 1, 64)
-    h = conv(h, weights["conv3_w"], weights["conv3_b"], 1)  # (N, 1, 128)
-    feat = h[:, 0, :]  # (N, 128)
+    h = conv_k3(mag, weights["conv0_w"], weights["conv0_b"], (0, 1, 2, 3))
+    h = conv_k3(h, weights["conv1_w"], weights["conv1_b"], (0, 2))  # s=2
+    h = conv_k3(h, weights["conv2_w"], weights["conv2_b"], (0,))  # s=2
+    # conv3 is k3 s1 p1 at W=1: only the center tap sees data
+    feat = jax.nn.relu(
+        jnp.einsum(
+            "nc,co->no",
+            h[:, 0, :],
+            weights["conv3_w"][1],
+            preferred_element_type=jnp.float32,
+        )
+        + weights["conv3_b"]
+    )  # (N, 128)
 
     # LSTM across the window sequence (iofc gate order, ONNX semantics).
     wi = weights["lstm_w"]  # (512, 128)
@@ -181,9 +207,17 @@ def _vad_forward_impl(weights: dict, windows: jax.Array) -> jax.Array:
     bias = b[:512] + b[512:]
     x_gates = feat @ wi.T + bias  # (N, 512) precomputed input contribution
 
+    # The recurrent matvec runs on the VPU as an exact-f32
+    # multiply-reduce over the (128, 512) transposed weights: a
+    # (1, 128) x (128, 512) MXU dot sits on the serial dependency chain
+    # at full matmul latency per window (x6 under HIGHEST precision),
+    # which made the scan ~25 us/window; the VPU form is ~exact f32 with
+    # no MXU passes and no latency stall.
+    rt = ri.T  # (128, 512), rows reduce over the hidden axis
+
     def step(carry, xg):
         h, c = carry
-        gates = xg + h @ ri.T
+        gates = xg + jnp.sum(rt * h[:, None], axis=0)  # (512,)
         i, o, f, g = jnp.split(gates, 4)
         i, o, f = jax.nn.sigmoid(i), jax.nn.sigmoid(o), jax.nn.sigmoid(f)
         c = f * c + i * jnp.tanh(g)
@@ -192,9 +226,8 @@ def _vad_forward_impl(weights: dict, windows: jax.Array) -> jax.Array:
 
     init = (jnp.zeros(128, jnp.float32), jnp.zeros(128, jnp.float32))
     # unroll: each scan step is a tiny 128-wide recurrence, so per-step
-    # loop overhead dominates on TPU; unrolling amortizes it ~8x over the
-    # ~31 windows/s of audio.
-    _, hs = jax.lax.scan(step, init, x_gates, unroll=8)  # (N, 128)
+    # loop overhead dominates on TPU; a deep unroll amortizes it.
+    _, hs = jax.lax.scan(step, init, x_gates, unroll=16)  # (N, 128)
 
     hs = jax.nn.relu(hs)
     probs = jax.nn.sigmoid(hs @ weights["out_w"].T + weights["out_b"])  # (N, 1)

@@ -209,12 +209,26 @@ def _kernel_quant(
         )
         p_j = jnp.where(own_sel, 0.0, p_j)
         p_j = p_j * vs_ref[0, 0, :, j][:, None].astype(jnp.float32)
-        attn = attn + jax.lax.dot_general(
-            p_j.astype(dot_t),
-            vq_ref[0, 0, :, j].astype(dot_t),  # (HB, CTX, D)
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        if use_s8:
+            # s8 PV on the MXU: per-row quantized weights (p >= 0) avoid
+            # upcasting the (HB, CTX, D) value block — same trick as QK
+            p_s = jnp.maximum(
+                jnp.max(p_j, axis=-1, keepdims=True) / 127.0, 1e-10
+            )
+            p_i8 = jnp.round(p_j / p_s).astype(jnp.int8)
+            attn = attn + jax.lax.dot_general(
+                p_i8,
+                vq_ref[0, 0, :, j],  # (HB, CTX, D) int8
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * p_s
+        else:
+            attn = attn + jax.lax.dot_general(
+                p_j.astype(dot_t),
+                vq_ref[0, 0, :, j].astype(dot_t),  # (HB, CTX, D)
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
     attn = attn + p_own * vnd  # (HB, K, D)
     attn_ref[0] = attn.astype(attn_ref.dtype)
 
@@ -515,32 +529,69 @@ def _cross_kernel_quant(
     layer_ref,  # (1,) int32
     q_ref,  # (1, HB, K, D)
     ck_ref,  # (1, 1, HB, T, D) int8
-    cks_ref,  # (1, 1, HB, 1, T) f32 (unit axis keeps the block tile-legal)
+    cks_ref,  # (1, 1, HB, 1, T) f32/bf16 (unit axis keeps the block tile-legal)
     cv_ref,  # (1, 1, HB, T, D) int8
-    cvs_ref,  # (1, 1, HB, 1, T) f32
+    cvs_ref,  # (1, 1, HB, 1, T) f32/bf16
     attn_ref,  # (1, HB, K, D)
     *,
     d_scale: float,
 ):
     dot_t = q_ref.dtype
-    q = (q_ref[0].astype(jnp.float32) * d_scale).astype(dot_t)  # (HB, K, D)
-    scores = jax.lax.dot_general(
-        q,
-        ck_ref[0, 0].astype(dot_t),  # (HB, T, D)
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (HB, K, T)
-    scores = scores * cks_ref[0, 0]  # K-scales: (HB, 1, T)
+    qf = q_ref[0].astype(jnp.float32) * d_scale  # (HB, K, D)
+    # bf16 production path: run both contractions on the native
+    # s8 x s8 -> s32 MXU.  Upcasting the (HB, T, D) cache blocks to bf16
+    # was the kernel's bottleneck (conversion-bound at 4.7 ms/step vs
+    # XLA's 3.1); per-row quantizing q and the softmax weights removes
+    # every wide conversion and leaves the kernel read-bound.  f32
+    # callers (tests) keep the upcast to match the XLA reference.
+    use_s8 = jnp.dtype(dot_t) == jnp.dtype(jnp.bfloat16)
+    if use_s8:
+        q_s = jnp.maximum(
+            jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0, 1e-10
+        )  # (HB, K, 1)
+        q_i8 = jnp.clip(jnp.round(qf / q_s), -127, 127).astype(jnp.int8)
+        scores = (
+            jax.lax.dot_general(
+                q_i8,
+                ck_ref[0, 0],  # (HB, T, D) int8
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * q_s
+        )  # (HB, K, T)
+    else:
+        scores = jax.lax.dot_general(
+            qf.astype(dot_t),
+            ck_ref[0, 0].astype(dot_t),  # (HB, T, D)
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (HB, K, T)
+    scores = scores * cks_ref[0, 0].astype(jnp.float32)  # K-scales: (HB, 1, T)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    p = p * cvs_ref[0, 0]  # V-scales folded into the weights
-    attn = jax.lax.dot_general(
-        p.astype(dot_t),
-        cv_ref[0, 0].astype(dot_t),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    p = p * cvs_ref[0, 0].astype(jnp.float32)  # V-scales folded into weights
+    if use_s8:
+        p_s = jnp.maximum(
+            jnp.max(p, axis=-1, keepdims=True) / 127.0, 1e-10
+        )  # p >= 0
+        p_i8 = jnp.round(p / p_s).astype(jnp.int8)
+        attn = (
+            jax.lax.dot_general(
+                p_i8,
+                cv_ref[0, 0],  # (HB, T, D) int8
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * p_s
+        )
+    else:
+        attn = jax.lax.dot_general(
+            p.astype(dot_t),
+            cv_ref[0, 0].astype(dot_t),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
     attn_ref[0] = attn.astype(attn_ref.dtype)
 
 

@@ -141,3 +141,67 @@ def test_cross_attend_matches_einsum(quant):
     p = e / e.sum(-1, keepdims=True)
     ref = np.einsum("bhkt,bhtd->bhkd", p, cv_l)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-3)
+
+
+def test_s8_mxu_path_matches_f32_reference():
+    """bf16 callers take the native s8 x s8 -> s32 MXU contractions
+    (per-row quantized q and softmax weights).  Parity vs the f32 XLA
+    reference on the SAME int8 caches bounds the added noise: the only
+    extra error source is the 8-bit q/p rounding (~0.5% relative)."""
+    q, k_new, v_new, self_k, self_v, anc, pos_row = _setup(
+        True, CTX=32, D=64, seed=11
+    )
+    layer = jnp.int32(1)
+
+    attn_ref, sk_ref, sv_ref = beam_attend_append_xla(
+        layer, pos_row,
+        q.astype(jnp.float32), k_new.astype(jnp.float32),
+        v_new.astype(jnp.float32), self_k, self_v, anc,
+    )
+    attn_ker, sk_ker, sv_ker = beam_attend_append(
+        layer, pos_row,
+        q.astype(jnp.bfloat16), k_new.astype(jnp.bfloat16),
+        v_new.astype(jnp.bfloat16), self_k, self_v, anc, interpret=True,
+    )
+
+    a_ref = np.asarray(attn_ref, np.float32)
+    a_ker = np.asarray(attn_ker, np.float32)
+    # ~1% of the attention output's scale (int8 V cache, 8-bit q/p)
+    tol = 2e-2 * np.abs(a_ref).max()
+    np.testing.assert_allclose(a_ker, a_ref, atol=tol)
+    # cache writes are quantize-exact regardless of the dot path (the
+    # bf16 k/v columns quantize the bf16-rounded values)
+    assert np.abs(
+        np.asarray(sk_ker.q, np.int32) - np.asarray(sk_ref.q, np.int32)
+    ).max() <= 1
+
+
+def test_cross_attend_s8_path_matches_f32_reference():
+    from faster_whisper_tpu.ops.beam_attention import cross_attend
+
+    rng = np.random.default_rng(13)
+    L, B, H, K, T, D = 3, 2, 4, 3, 32, 64
+    q = jnp.asarray(rng.standard_normal((B, H, K, D)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((L, B, H, T, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((L, B, H, T, D)), jnp.float32)
+    ckq0, cvq0 = quantize_kv(ck), quantize_kv(cv)
+    ckq = QuantKV(ckq0.q, ckq0.s[:, :, :, None])
+    cvq = QuantKV(cvq0.q, cvq0.s[:, :, :, None])
+    layer = jnp.int32(1)
+    d_scale = D ** -0.5
+
+    ck_l = np.asarray(ckq0.q[1], np.float32) * np.asarray(ckq0.s[1])[..., None]
+    cv_l = np.asarray(cvq0.q[1], np.float32) * np.asarray(cvq0.s[1])[..., None]
+    scores = np.einsum(
+        "bhkd,bhtd->bhkt", np.asarray(q, np.float64) * d_scale, ck_l
+    )
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhkt,bhtd->bhkd", p, cv_l)
+
+    out = cross_attend(
+        layer, q.astype(jnp.bfloat16), ckq, cvq, interpret=True
+    )
+    o = np.asarray(out, np.float32)
+    tol = 2e-2 * np.abs(ref).max()
+    np.testing.assert_allclose(o, ref, atol=tol)
