@@ -235,9 +235,9 @@ def _gen_decoder_step(
 
     x, new_sk, new_sv = jax.lax.fori_loop(0, L, body, (x0, self_k, self_v))
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
-    logits = jnp.dot(
-        x, dec["token_embed"].T, preferred_element_type=jnp.float32
-    )  # (B, K, V)
+    from faster_whisper_tpu.models.model import _logits
+
+    logits = _logits(params, x)  # (B, K, V) f32
     return logits, new_sk, new_sv
 
 

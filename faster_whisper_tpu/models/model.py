@@ -221,7 +221,16 @@ def _decoder_stack(params, config, x, positions, self_mask, cache: KVCache):
 
 
 def _logits(params, x):
-    """Tied-embedding output projection with f32 accumulation."""
+    """Tied-embedding output projection with f32 accumulation.
+
+    int8 param trees carry a dedicated transposed int8 copy of the table
+    (ops/quant.py::quantize_params) so the per-step (d, V) stream runs at
+    half the bytes on the s8 MXU path."""
+    from faster_whisper_tpu.ops.quant import int8_dense
+
+    lw = params["decoder"].get("logits_w")
+    if lw is not None:
+        return int8_dense(x, lw, out_dtype=jnp.float32)
     embed = params["decoder"]["token_embed"]
     return jnp.dot(x, embed.T, preferred_element_type=jnp.float32)
 

@@ -274,6 +274,69 @@ def chunked_log_mel(
     return out[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("seg_cap", "out_len"))
+def _assemble_impl(audio, src, dst, lens, seg_cap: int, out_len: int):
+    audio_p = jnp.pad(audio.astype(jnp.float32), (0, seg_cap))
+    out0 = jnp.zeros(out_len + seg_cap, jnp.float32)
+    offs = jnp.arange(seg_cap)
+
+    def body(out, t):
+        s, d, ln = t
+        seg = jax.lax.dynamic_slice(audio_p, (s,), (seg_cap,))
+        cur = jax.lax.dynamic_slice(out, (d,), (seg_cap,))
+        seg = jnp.where(offs < ln, seg, cur)
+        return jax.lax.dynamic_update_slice(out, seg, (d,)), None
+
+    out, _ = jax.lax.scan(body, out0, (src, dst, lens))
+    return out[:out_len]
+
+
+def assemble_segments(
+    audio_dev: jax.Array,
+    spans,  # [(start, end)] sample ranges of the original audio
+    seg_cap: int = 16000 * 31,
+    bucket: int = 64,
+) -> jax.Array:
+    """Device-side ``np.concatenate([audio[s:e] for s, e in spans])``.
+
+    The batched pipeline's speech-concat buffer is rebuilt from the
+    already-uploaded device audio instead of shipping a second ~full-size
+    host buffer over the (slow, tunneled) host->device link.  Spans longer
+    than ``seg_cap`` are split on the host; the copy runs as a scan of
+    masked fixed-size dynamic-update-slices (no gathers — a flat index
+    gather would itself be audio-sized).
+    """
+    src, dst, lens = [], [], []
+    pos = 0
+    for s, e in spans:
+        s, e = int(s), int(e)
+        while e - s > 0:
+            take = min(e - s, seg_cap)
+            src.append(s)
+            dst.append(pos)
+            lens.append(take)
+            pos += take
+            s += take
+    total = pos
+    if total == 0:
+        return jnp.zeros(0, jnp.float32)
+    nb = max(bucket, -(-len(src) // bucket) * bucket)
+    src_b = np.zeros(nb, np.int32)
+    dst_b = np.zeros(nb, np.int32)
+    len_b = np.zeros(nb, np.int32)  # zero-length pads are masked no-ops
+    src_b[: len(src)] = src
+    dst_b[: len(dst)] = dst
+    len_b[: len(lens)] = lens
+    return _assemble_impl(
+        audio_dev,
+        jnp.asarray(src_b),
+        jnp.asarray(dst_b),
+        jnp.asarray(len_b),
+        seg_cap,
+        total,
+    )
+
+
 def log_mel_spectrogram(
     waveform: np.ndarray,
     mel_filters: jax.Array,

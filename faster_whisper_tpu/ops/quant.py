@@ -47,9 +47,11 @@ def int8_dense(
     x: jax.Array,  # (..., in) bf16/f32
     w: QuantizedLinear,  # q (in, out), s (out,)
     b: Optional[jax.Array] = None,
+    out_dtype=None,
 ) -> jax.Array:
     """y = x @ dequant(w) + b with dynamic per-row activation quantization
-    and an s8 x s8 -> s32 MXU matmul."""
+    and an s8 x s8 -> s32 MXU matmul.  ``out_dtype`` overrides the output
+    cast (the logits head wants f32 scores, not x.dtype)."""
     xf = x.astype(jnp.float32)
     sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     sx = jnp.maximum(sx, 1e-10)
@@ -64,13 +66,18 @@ def int8_dense(
     y = acc.astype(jnp.float32) * sx * w.s
     if b is not None:
         y = y + b.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype or x.dtype)
 
 
 def quantize_params(params: dict) -> dict:
     """Quantize every transformer-layer matmul weight in a Whisper param
-    tree to QuantizedLinear (embeddings, conv stem, layernorms, and the
-    tied output projection stay in their original dtype)."""
+    tree to QuantizedLinear (embeddings, conv stem, and layernorms stay
+    in their original dtype).  The tied output projection additionally
+    gets a dedicated int8 transpose (``decoder.logits_w``): the logits
+    matmul re-reads the whole (V, d) embedding every decode step, and the
+    int8 copy halves that stream while the bf16 table still serves the
+    (tiny, gathered) input-embedding lookups at full precision —
+    matching CT2's int8 treatment of the projection."""
 
     def quant_attn(p):
         return {
@@ -104,6 +111,9 @@ def quantize_params(params: dict) -> dict:
     dec_layers["mlp"] = quant_mlp(dec_layers["mlp"])
     out["decoder"] = dict(params["decoder"])
     out["decoder"]["layers"] = dec_layers
+    out["decoder"]["logits_w"] = quantize_weight(
+        jnp.transpose(params["decoder"]["token_embed"])
+    )
     return out
 
 

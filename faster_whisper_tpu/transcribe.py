@@ -1578,6 +1578,19 @@ class BatchedInferencePipeline:
 
         chunk_length = chunk_length or self.model.feature_extractor.chunk_length
 
+        # One shared host->device PCM upload feeds both the VAD forward and
+        # the speech-concat feature buffer (assembled on device): on
+        # tunneled TPUs the host->device link (~40 MB/s) otherwise costs
+        # two ~audio-sized transfers per call.  The shared copy rides
+        # upload_audio's int16 grid — exact for s16-derived sources,
+        # <=0.5 LSB elsewhere; FWT_SHARED_UPLOAD=0 restores the separate
+        # bit-exact float32 feature upload.
+        audio_dev = None
+        if len(audio) and os.environ.get("FWT_SHARED_UPLOAD", "1") != "0":
+            from faster_whisper_tpu.ops.mel import upload_audio
+
+            audio_dev = upload_audio(audio)
+
         if not clip_timestamps:
             if vad_filter:
                 if vad_parameters is None:
@@ -1591,7 +1604,9 @@ class BatchedInferencePipeline:
                     vad_parameters = VadOptions(
                         **vad_parameters, max_speech_duration_s=chunk_length
                     )
-                clip_timestamps = get_speech_timestamps(audio, vad_parameters)
+                clip_timestamps = get_speech_timestamps(
+                    audio, vad_parameters, audio_device=audio_dev
+                )
             elif duration < chunk_length:
                 clip_timestamps = [{"start": 0, "end": audio.shape[0]}]
             else:
@@ -1643,11 +1658,25 @@ class BatchedInferencePipeline:
         # (chunks are consecutive in the concatenated speech buffer).
         chunk_lengths = [len(c) for c in audio_chunks]
         if duration_after_vad:
-            base_audio = (
-                audio_chunks[0]
-                if len(audio_chunks) == 1
-                else np.concatenate(audio_chunks)
-            )
+            if audio_dev is not None:
+                # rebuild the speech concat on device from the shared
+                # upload (clip_timestamps spans, in concat order)
+                from faster_whisper_tpu.ops.mel import assemble_segments
+
+                n_total = len(audio)  # numpy slicing clamps; match it
+                base_audio = assemble_segments(
+                    audio_dev,
+                    [
+                        (min(c["start"], n_total), min(c["end"], n_total))
+                        for c in clip_timestamps
+                    ],
+                )
+            else:
+                base_audio = (
+                    audio_chunks[0]
+                    if len(audio_chunks) == 1
+                    else np.concatenate(audio_chunks)
+                )
             chunk_starts = np.concatenate([[0], np.cumsum(chunk_lengths)[:-1]])
             features = self.model.feature_extractor.chunk_features(
                 base_audio, chunk_starts, chunk_lengths

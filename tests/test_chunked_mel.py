@@ -70,3 +70,50 @@ def test_extract_window_matches_slice(fe):
         )
         want = np.asarray(pad_or_trim(feats[:, seek : seek + size], 3000))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_assemble_segments_matches_host_concat():
+    import jax.numpy as jnp
+
+    from faster_whisper_tpu.ops.mel import assemble_segments
+
+    rng = np.random.default_rng(4)
+    # on the int16 grid so the shared-upload transport is lossless
+    audio = (rng.integers(-20000, 20000, 16000 * 40) / 32768.0).astype(
+        np.float32
+    )
+    spans = [(0, 16000), (16000 * 5, 16000 * 8), (16000 * 39, 16000 * 40)]
+    want = np.concatenate([audio[s:e] for s, e in spans])
+    got = np.asarray(assemble_segments(jnp.asarray(audio), spans))
+    np.testing.assert_array_equal(got, want)
+
+    # spans longer than seg_cap split on the host
+    got2 = np.asarray(
+        assemble_segments(jnp.asarray(audio), spans, seg_cap=16000)
+    )
+    np.testing.assert_array_equal(got2, want)
+
+    assert assemble_segments(jnp.asarray(audio), []).shape == (0,)
+
+
+def test_shared_upload_pipeline_matches_separate(monkeypatch):
+    """FWT_SHARED_UPLOAD=1 (device-assembled speech concat) must produce
+    the same segments as the separate-upload path on int16-grid audio."""
+    from faster_whisper_tpu.testing import build_test_model
+    from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+    rng = np.random.default_rng(5)
+    model = build_test_model()
+    audio = (rng.integers(-15000, 15000, 16000 * 8) / 32768.0).astype(
+        np.float32
+    )
+    clips = [{"start": 0.5, "end": 3.0}, {"start": 4.0, "end": 7.5}]
+    kw = dict(language="en", beam_size=2, clip_timestamps=clips)
+
+    monkeypatch.setenv("FWT_SHARED_UPLOAD", "0")
+    ref, _ = BatchedInferencePipeline(model).transcribe(audio, **kw)
+    ref = [s.text for s in ref]
+    monkeypatch.setenv("FWT_SHARED_UPLOAD", "1")
+    got, _ = BatchedInferencePipeline(model).transcribe(audio, **kw)
+    got = [s.text for s in got]
+    assert got == ref
