@@ -1,0 +1,278 @@
+"""Minimal transcription server over BatchedInferencePipeline.
+
+The reference leaves serving to community wrappers (SYSTRAN/faster-whisper
+README "Community integrations"); this is the TPU deployment's built-in
+equivalent: a dependency-free HTTP front end whose request handler
+serializes inference onto the single device stream while the pipeline
+itself batches each file's VAD chunks.
+
+Endpoints (OpenAI-audio-compatible surface, the schema those community
+wrappers expose):
+
+  POST /v1/audio/transcriptions
+      multipart/form-data with a ``file`` part plus optional fields
+      (language, task, beam_size, batch_size, temperature,
+      word_timestamps, vad_filter, initial_prompt, hotwords,
+      response_format: json|verbose_json|text), or a raw audio body with
+      options in the query string.
+  GET  /healthz       -> {"status": "ok", "model": ...}
+
+Run:  python -m faster_whisper_tpu.server --model large-v3 --port 8000
+"""
+
+import argparse
+import io
+import json
+import logging
+import threading
+from email import policy
+from email.parser import BytesParser
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+logger = logging.getLogger("faster_whisper_tpu.server")
+
+_BOOL = {"1": True, "true": True, "yes": True, "0": False, "false": False,
+         "no": False}
+
+# transcribe() kwargs settable over HTTP, with parsers
+_OPTION_PARSERS = {
+    "language": str,
+    "task": str,
+    "beam_size": int,
+    "best_of": int,
+    "patience": float,
+    "length_penalty": float,
+    "repetition_penalty": float,
+    "no_repeat_ngram_size": int,
+    "temperature": lambda v: [float(t) for t in str(v).split(",")],
+    "compression_ratio_threshold": float,
+    "log_prob_threshold": float,
+    "no_speech_threshold": float,
+    "condition_on_previous_text": lambda v: _BOOL[str(v).lower()],
+    "initial_prompt": str,
+    "prefix": str,
+    "without_timestamps": lambda v: _BOOL[str(v).lower()],
+    "word_timestamps": lambda v: _BOOL[str(v).lower()],
+    "vad_filter": lambda v: _BOOL[str(v).lower()],
+    "max_new_tokens": int,
+    "chunk_length": int,
+    "batch_size": int,
+    "hotwords": str,
+    "multilingual": lambda v: _BOOL[str(v).lower()],
+}
+
+
+def _segment_dict(seg, verbose):
+    d = {
+        "id": seg.id,
+        "start": seg.start,
+        "end": seg.end,
+        "text": seg.text,
+    }
+    if verbose:
+        d.update(
+            seek=seg.seek,
+            tokens=seg.tokens,
+            temperature=seg.temperature,
+            avg_logprob=seg.avg_logprob,
+            compression_ratio=seg.compression_ratio,
+            no_speech_prob=seg.no_speech_prob,
+        )
+        if seg.words:
+            d["words"] = [
+                {
+                    "start": w.start,
+                    "end": w.end,
+                    "word": w.word,
+                    "probability": w.probability,
+                }
+                for w in seg.words
+            ]
+    return d
+
+
+class TranscriptionService:
+    """Owns the model + pipeline and serializes inference requests.
+
+    One TPU stream: concurrent HTTP handlers queue on ``_lock`` while the
+    pipeline batches within each request.  Sequential (non-batched) mode
+    is selected per-request with batch_size=0.
+    """
+
+    def __init__(self, model, batched=True):
+        from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+        self.model = model
+        self.pipeline = BatchedInferencePipeline(model) if batched else None
+        self._lock = threading.Lock()
+
+    def transcribe_bytes(self, payload: bytes, options: dict):
+        from faster_whisper_tpu.audio import decode_audio
+
+        audio = decode_audio(io.BytesIO(payload))
+        batch_size = options.pop("batch_size", 8)
+        with self._lock:
+            if self.pipeline is not None and batch_size:
+                segments, info = self.pipeline.transcribe(
+                    audio, batch_size=batch_size, **options
+                )
+            else:
+                segments, info = self.model.transcribe(audio, **options)
+            segments = list(segments)  # drain inside the lock
+        return segments, info
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: TranscriptionService = None  # set by serve()
+    model_name: str = "?"
+
+    # -- helpers ---------------------------------------------------------
+    def _send_json(self, code, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_text(self, code, text):
+        body = text.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):
+        logger.info("%s " + fmt, self.address_string(), *args)
+
+    # -- routes ----------------------------------------------------------
+    def do_GET(self):
+        if urlparse(self.path).path in ("/healthz", "/health"):
+            self._send_json(200, {"status": "ok", "model": self.model_name})
+        else:
+            self._send_json(404, {"error": "not found"})
+
+    def do_POST(self):
+        path = urlparse(self.path).path
+        if path not in ("/v1/audio/transcriptions", "/transcribe"):
+            self._send_json(404, {"error": "not found"})
+            return
+        try:
+            payload, fields = self._read_request()
+        except Exception as exc:  # malformed multipart / body
+            self._send_json(400, {"error": f"bad request: {exc}"})
+            return
+        if not payload:
+            self._send_json(400, {"error": "no audio payload ('file' part)"})
+            return
+
+        options, response_format = {}, "json"
+        try:
+            for key, value in fields.items():
+                if key == "response_format":
+                    response_format = value
+                elif key in _OPTION_PARSERS:
+                    options[key] = _OPTION_PARSERS[key](value)
+        except (KeyError, ValueError) as exc:
+            self._send_json(400, {"error": f"bad option value: {exc}"})
+            return
+
+        try:
+            segments, info = self.service.transcribe_bytes(payload, options)
+        except Exception as exc:
+            logger.exception("transcription failed")
+            self._send_json(500, {"error": str(exc)})
+            return
+
+        text = "".join(s.text for s in segments)
+        if response_format == "text":
+            self._send_text(200, text.strip())
+            return
+        verbose = response_format == "verbose_json"
+        out = {"text": text.strip()}
+        if verbose:
+            out.update(
+                task="transcribe",
+                language=info.language,
+                language_probability=info.language_probability,
+                duration=info.duration,
+                duration_after_vad=info.duration_after_vad,
+            )
+        out["segments"] = [_segment_dict(s, verbose) for s in segments]
+        self._send_json(200, out)
+
+    def _read_request(self):
+        """Returns (audio_bytes, option_fields) from multipart/form-data
+        or a raw body with query-string options."""
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        ctype = self.headers.get("Content-Type", "")
+        if ctype.startswith("multipart/form-data"):
+            parser = BytesParser(policy=policy.default)
+            msg = parser.parsebytes(
+                b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body
+            )
+            payload, fields = None, {}
+            for part in msg.iter_parts():
+                name = part.get_param(
+                    "name", header="content-disposition"
+                )
+                if name == "file":
+                    payload = part.get_payload(decode=True)
+                elif name:
+                    fields[name] = part.get_content().strip()
+            return payload, fields
+        # raw body + query-string options
+        qs = parse_qs(urlparse(self.path).query)
+        return body, {k: v[0] for k, v in qs.items()}
+
+
+def serve(model, host="0.0.0.0", port=8000, model_name="?", batched=True):
+    """Start the HTTP server (blocking).  Returns the server object when
+    constructed with port=0 via ``make_server`` for tests."""
+    server = make_server(model, host, port, model_name, batched)
+    logger.info("serving %s on %s:%d", model_name, host, server.server_port)
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+
+
+def make_server(model, host="127.0.0.1", port=0, model_name="?", batched=True):
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {
+            "service": TranscriptionService(model, batched=batched),
+            "model_name": model_name,
+        },
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    from faster_whisper_tpu.transcribe import WhisperModel
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model", default="large-v3")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--compute-type", default="default")
+    ap.add_argument("--num-mesh-devices", type=int, default=0,
+                    help="data-parallel mesh size (0 = single device)")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    kwargs = {}
+    if args.num_mesh_devices:
+        kwargs["device_index"] = list(range(args.num_mesh_devices))
+    model = WhisperModel(
+        args.model, compute_type=args.compute_type, **kwargs
+    )
+    serve(model, args.host, args.port, model_name=args.model)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""HTTP serving surface: request parsing, inference, response schema."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from faster_whisper_tpu.server import make_server
+from faster_whisper_tpu.testing import build_test_model
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    model = build_test_model()
+    server = make_server(model, model_name="test-tiny")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz") as r:
+        body = json.load(r)
+    assert body == {"status": "ok", "model": "test-tiny"}
+
+
+def _wav_bytes(seconds=2.0, sr=16000, seed=0):
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    pcm = (rng.standard_normal(int(sr * seconds)) * 3000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _post_multipart(url, payload, fields):
+    boundary = "fwtboundary"
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+            f"\r\n\r\n{v}\r\n".encode()
+        )
+    parts.append(
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="a.wav"\r\nContent-Type: audio/wav\r\n\r\n'.encode()
+        + payload
+        + b"\r\n"
+    )
+    parts.append(f"--{boundary}--\r\n".encode())
+    body = b"".join(parts)
+    req = urllib.request.Request(
+        url + "/v1/audio/transcriptions",
+        data=body,
+        headers={
+            "Content-Type": f"multipart/form-data; boundary={boundary}"
+        },
+    )
+    return urllib.request.urlopen(req)
+
+
+def test_transcription_multipart(server_url):
+    fields = {
+        "language": "en",
+        "beam_size": "2",
+        "vad_filter": "false",
+        "response_format": "verbose_json",
+        "batch_size": "2",
+    }
+    with _post_multipart(server_url, _wav_bytes(), fields) as r:
+        out = json.load(r)
+    assert "text" in out and "segments" in out
+    assert out["language"] == "en"
+    for seg in out["segments"]:
+        assert seg["end"] >= seg["start"]
+        assert "avg_logprob" in seg
+
+
+def test_transcription_raw_body_query_options(server_url):
+    req = urllib.request.Request(
+        server_url
+        + "/transcribe?language=en&beam_size=1&vad_filter=false"
+        + "&response_format=text&batch_size=0",
+        data=_wav_bytes(seed=1),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        r.read()
+
+
+def test_bad_option_is_400(server_url):
+    try:
+        _post_multipart(
+            server_url, _wav_bytes(), {"beam_size": "not-a-number"}
+        )
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_missing_file_is_400(server_url):
+    req = urllib.request.Request(
+        server_url + "/v1/audio/transcriptions",
+        data=b"",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
