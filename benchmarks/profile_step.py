@@ -128,8 +128,8 @@ def main():
             tok = jnp.full((B, K), 100 + i, jnp.int32)
             pos = jnp.full((B, K), 4, jnp.int32) + i
             logits, self_k, self_v = _gen_decoder_step(
-                params, config, tok, pos, self_k, self_v,
-                cross_k, cross_v, anc=anc,
+                params, config, tok, pos, pos[:, 0], self_k, self_v,
+                cross_k, cross_v, anc, fused=True,
             )
             return self_k, self_v, acc + jnp.sum(logits[:, 0, :8])
 
