@@ -77,7 +77,7 @@ def main():
     )
     gen_opts = GenOptions(
         beam_size=K, num_finished=K, length_penalty=1.0, ctx_cap=CTX,
-        kv_int8=True,
+        kv_int8=True, fused_attn=True,  # the production TPU configuration
     )
     proc_opts = ProcessorOptions(
         suppress_blank=True, suppress_tokens=tuple(range(1, 40)),

@@ -241,6 +241,34 @@ def _gen_decoder_step(
     return logits, new_sk, new_sv
 
 
+def _exact_topk(x: jax.Array, k: int, chunk: int = 512):
+    """Exact top-k over the last axis via chunk-max prefiltering.
+
+    ``lax.top_k`` over the (B, K*V ~ 260k) beam-candidate row measures
+    2.6 ms/call on v5e — a third of the whole decode step; a two-stage
+    select (per-chunk max -> top-k chunks -> top-k of their union) is
+    ~16x faster and EXACT: if a value v is in the global top-k but its
+    chunk were not among the top-k chunks, then k chunk-maxima (each a
+    distinct element) would exceed v, contradicting v's rank.  Returned
+    values are sorted descending; tie-breaking between equal values may
+    pick different indices than lax.top_k (irrelevant for beam search —
+    equal-score candidates are interchangeable).
+    """
+    b, n = x.shape
+    if n <= k * chunk:  # prefiltering cannot pay for itself
+        return jax.lax.top_k(x, k)
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    nc = x.shape[1] // chunk
+    y = x.reshape(b, nc, chunk)
+    _, ci = jax.lax.top_k(jnp.max(y, axis=-1), k)  # (B, k) chunk ids
+    rows = jnp.take_along_axis(y, ci[:, :, None], axis=1).reshape(b, k * chunk)
+    v, j = jax.lax.top_k(rows, k)
+    orig = jnp.take_along_axis(ci, j // chunk, axis=1) * chunk + (j % chunk)
+    return v, orig
+
+
 def _expand_caches(cache0, K: int, kv_int8: bool):
     """Broadcast the prefill cache to the (B, K) beam grid, optionally
     quantizing both the self and cross K/V to int8 (the decode loop's
@@ -354,7 +382,7 @@ def beam_search(
         ).reshape(b, K, V)
 
         total = sum_lp[:, :, None] + logprobs  # (B, K, V)
-        cand_val, cand_idx = jax.lax.top_k(total.reshape(b, K * V), 2 * K)
+        cand_val, cand_idx = _exact_topk(total.reshape(b, K * V), 2 * K)
         cand_beam = cand_idx // V  # (B, 2K)
         cand_tok = cand_idx % V
         is_eot = cand_tok == meta.eot

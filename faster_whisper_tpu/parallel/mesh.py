@@ -118,9 +118,61 @@ def param_pspecs(tensor_parallel: bool = True) -> dict:
     }
 
 
+def _scale_spec(w_spec: P) -> P:
+    """Per-output-channel scale spec: the weight's spec minus its input
+    (second-to-last) axis — q (..., in, out) pairs with s (..., out)."""
+    entries = tuple(w_spec)
+    return P(*(entries[: len(entries) - 2] + entries[len(entries) - 1 :]))
+
+
+def specs_for_params(params, tensor_parallel: bool = True, model_size: int = 1):
+    """Build a PartitionSpec tree matching an ACTUAL params tree.
+
+    Unlike the static ``param_pspecs`` template, this walks the real tree:
+    int8 trees carry QuantizedLinear leaves (q gets the weight's spec, s
+    the output-axis part), the int8 logits head is vocab-column-sharded
+    when the vocabulary divides the model axis (51866 = 2 x a prime, so
+    only model=2 shards it; otherwise it replicates — 66 MB/chip), and
+    any key the template does not know is replicated — so converted
+    checkpoints with extra buffers shard safely."""
+    from faster_whisper_tpu.ops.quant import QuantizedLinear
+
+    template = param_pspecs(tensor_parallel)
+    lw = params.get("decoder", {}).get("logits_w")
+    shard_vocab = (
+        tensor_parallel
+        and lw is not None
+        and model_size > 1
+        and lw.q.shape[-1] % model_size == 0
+    )
+    template["decoder"]["logits_w"] = (
+        P(None, "model") if shard_vocab else P(None, None)
+    )
+
+    def build(p, s):
+        if isinstance(p, QuantizedLinear):
+            if isinstance(s, P):
+                return QuantizedLinear(s, _scale_spec(s))
+            return QuantizedLinear(
+                P(*([None] * p.q.ndim)), P(*([None] * p.s.ndim))
+            )
+        if isinstance(p, dict):
+            return {
+                k: build(v, s.get(k) if isinstance(s, dict) else None)
+                for k, v in p.items()
+            }
+        if isinstance(s, P):
+            return s
+        return P(*([None] * np.ndim(p)))
+
+    return build(params, template)
+
+
 def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
     """Place a param pytree onto the mesh with TP/replicated layouts."""
-    specs = param_pspecs(tensor_parallel)
+    specs = specs_for_params(
+        params, tensor_parallel, model_size=mesh.shape.get("model", 1)
+    )
     return jax.tree.map(
         lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
         params,

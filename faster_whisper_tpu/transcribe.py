@@ -145,6 +145,7 @@ class WhisperModel:
         files: dict = None,
         revision: Optional[str] = None,
         use_auth_token: Optional[Union[str, bool]] = None,
+        tensor_parallel: int = 1,
         **model_kwargs,
     ):
         """Initializes the Whisper model.
@@ -228,19 +229,21 @@ class WhisperModel:
             params, config, self.hf_tokenizer,
             kv_int8=compute_type.startswith("int8"),
         )
-        self._setup_mesh(device_index)
+        self._setup_mesh(device_index, tensor_parallel)
 
         self.feat_kwargs = self._get_feature_kwargs(model_path, preprocessor_bytes)
         self.feature_extractor = FeatureExtractor(**self.feat_kwargs)
         self._init_derived_constants()
 
-    def _setup_mesh(self, device_index):
+    def _setup_mesh(self, device_index, tensor_parallel: int = 1):
         """Multi-chip serving: the reference's ``device_index=[0, 1, ...]``
         loads one replica per GPU and round-robins requests (reference:
         transcribe.py:646-657, :1392-1394).  The TPU-native equivalent is a
-        single program over a ("data",) mesh of the listed chips —
-        replicated weights, batch axis sharded — so one batched call uses
-        every chip and XLA inserts any collectives (SURVEY §2.4)."""
+        single program over a ("data", "model") mesh of the listed chips:
+        batch axis sharded over "data"; with ``tensor_parallel > 1`` the
+        Megatron layouts from parallel/mesh.py column/row-shard each layer
+        over "model" (one all-reduce per sublayer, inserted by XLA from
+        the sharding annotations) for models larger than one chip's HBM."""
         idxs = (
             list(device_index)
             if isinstance(device_index, (list, tuple))
@@ -254,6 +257,40 @@ class WhisperModel:
         devs = jax.devices()
         use = [devs[i] for i in idxs if 0 <= i < len(devs)]
         if len(use) <= 1:
+            return
+        if tensor_parallel > 1:
+            cfg = self.model.config
+            if len(use) % tensor_parallel:
+                raise ValueError(
+                    f"tensor_parallel={tensor_parallel} must divide the "
+                    f"device count {len(use)}"
+                )
+            if (
+                cfg.n_text_head % tensor_parallel
+                or cfg.n_audio_head % tensor_parallel
+            ):
+                raise ValueError(
+                    f"tensor_parallel={tensor_parallel} must divide the "
+                    f"attention head counts "
+                    f"({cfg.n_audio_head}/{cfg.n_text_head})"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from faster_whisper_tpu.parallel.mesh import (
+                make_mesh,
+                shard_params,
+            )
+
+            self.mesh = make_mesh(
+                n_devices=len(use),
+                data=len(use) // tensor_parallel,
+                model=tensor_parallel,
+                devices=use,
+            )
+            self.model.params = shard_params(
+                self.model.params, self.mesh, tensor_parallel=True
+            )
+            self.model.input_sharding = NamedSharding(self.mesh, P("data"))
             return
 
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -278,6 +315,7 @@ class WhisperModel:
         feature_extractor_kwargs: Optional[dict] = None,
         compute_type: str = "default",
         device_index: Union[int, List[int]] = 0,
+        tensor_parallel: int = 1,
     ) -> "WhisperModel":
         """Build a WhisperModel from in-memory pieces (tests, benchmarks,
         converted checkpoints) without touching the filesystem."""
@@ -296,7 +334,7 @@ class WhisperModel:
             params, config, hf_tokenizer,
             kv_int8=compute_type.startswith("int8"),
         )
-        self._setup_mesh(device_index)
+        self._setup_mesh(device_index, tensor_parallel)
         kwargs = dict(feature_extractor_kwargs or {})
         kwargs.setdefault("feature_size", config.n_mels)
         self.feat_kwargs = kwargs

@@ -376,3 +376,29 @@ def test_sampling_kv_int8_runs(tiny_model):
     )[0]
     assert len(res.sequences_ids) == 2
     assert 0.0 <= res.no_speech_prob <= 1.0
+
+
+def test_exact_topk_matches_lax_topk():
+    """The chunk-prefiltered top-k must agree with lax.top_k exactly on
+    distinct values (values AND indices), including non-multiple-of-chunk
+    widths and top values clustered inside one chunk."""
+    import jax.numpy as jnp
+
+    from faster_whisper_tpu.generation.generate import _exact_topk
+
+    rng = np.random.default_rng(0)
+    for n, k in [(259330, 10), (5000, 7), (512, 5), (1000, 16)]:
+        x = rng.permutation(4 * n).reshape(4, n).astype(np.float32)
+        xj = jnp.asarray(x)
+        v0, i0 = jax.lax.top_k(xj, k)
+        v1, i1 = _exact_topk(xj, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+    # adversarial: all top-k packed into a single chunk
+    x = np.zeros((2, 4096), np.float32)
+    x[:, 100:110] = np.arange(10, 0, -1, dtype=np.float32) * 100
+    v1, i1 = _exact_topk(jnp.asarray(x), 10)
+    v0, i0 = jax.lax.top_k(jnp.asarray(x), 10)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))

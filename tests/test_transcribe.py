@@ -422,3 +422,69 @@ def test_vad_options_echoed_in_info(model, jfk_path):
     list(segments)
     assert info.vad_options.min_silence_duration_ms == 500
     assert info.vad_options.speech_pad_ms == 200
+
+
+def test_tensor_parallel_production_path(model, jfk_path):
+    """tensor_parallel=2 on a 4x2 data x model mesh must produce the same
+    transcription as the single-device model (Megatron layouts from
+    parallel/mesh.py, XLA-inserted collectives)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    sharded = WhisperModel.from_parts(
+        model.model.params,
+        model.model.config,
+        model.hf_tokenizer,
+        model.feat_kwargs,
+        device_index=list(range(8)),
+        tensor_parallel=2,
+    )
+    assert sharded.mesh is not None
+    assert dict(sharded.mesh.shape) == {"data": 4, "model": 2}
+
+    kw = dict(language="en", beam_size=2, batch_size=4)
+    ref_segs, _ = BatchedInferencePipeline(model).transcribe(jfk_path, **kw)
+    sh_segs, _ = BatchedInferencePipeline(sharded).transcribe(jfk_path, **kw)
+    assert [s.text for s in sh_segs] == [s.text for s in ref_segs]
+
+
+def test_tensor_parallel_validates_divisibility(model):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    with pytest.raises(ValueError, match="tensor_parallel"):
+        WhisperModel.from_parts(
+            model.model.params,
+            model.model.config,
+            model.hf_tokenizer,
+            model.feat_kwargs,
+            device_index=list(range(8)),
+            tensor_parallel=3,  # divides neither 8 devices nor the heads
+        )
+
+
+def test_tensor_parallel_int8_params_shard(model, jfk_path):
+    """int8 trees (QuantizedLinear leaves + the logits head) must shard
+    without structural errors and still transcribe."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    sharded = WhisperModel.from_parts(
+        model.model.params,
+        model.model.config,
+        model.hf_tokenizer,
+        model.feat_kwargs,
+        compute_type="int8",
+        device_index=list(range(4)),
+        tensor_parallel=2,
+    )
+    segs, _ = BatchedInferencePipeline(sharded).transcribe(
+        jfk_path, language="en", beam_size=2, batch_size=2
+    )
+    assert list(segs)
