@@ -31,17 +31,9 @@ import time
 # Mosaic (Pallas) kernel compilation through the axon remote-compile relay
 # reads TPU_ACCELERATOR_TYPE from the env captured at process start, so it
 # must be set before the interpreter boots jax: re-exec once if missing.
-if (
-    os.environ.get("PALLAS_AXON_TPU_GEN")
-    and "TPU_ACCELERATOR_TYPE" not in os.environ
-    and os.environ.get("_FWT_REEXEC") != "1"
-):
-    gen = os.environ["PALLAS_AXON_TPU_GEN"]
-    os.environ["TPU_ACCELERATOR_TYPE"] = {
-        "v4": "v4-8", "v5e": "v5litepod-1", "v5p": "v5p-8", "v6e": "v6e-1"
-    }.get(gen, gen)
-    os.environ["_FWT_REEXEC"] = "1"
-    os.execv(sys.executable, [sys.executable] + sys.argv)
+from faster_whisper_tpu.utils import ensure_tpu_accelerator_type
+
+ensure_tpu_accelerator_type()  # may re-exec before jax boots
 
 import numpy as np
 
@@ -125,9 +117,15 @@ def main():
     audio = load_audio_13min()
     print(f"# setup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # warmup (compiles the mel/VAD/encode/beam programs)
+    # warmup (compiles the mel/VAD/encode/beam programs).  The 65 s pass
+    # compiles the small-bucket programs; the full pass compiles/loads the
+    # 13-min set (24576-window VAD, 32-chunk mel, full-batch pipeline) —
+    # without it, run 1 of the timed set pays program load instead of
+    # measuring the pipeline.
     warm = run_once(model, audio[: 16000 * 65], batch_size, beam_size)
     print(f"# warmup(65s audio): {warm:.2f}s", file=sys.stderr)
+    warm = run_once(model, audio, batch_size, beam_size)
+    print(f"# warmup(full audio): {warm:.2f}s", file=sys.stderr)
 
     times = [run_once(model, audio, batch_size, beam_size) for _ in range(repeats)]
     best = min(times)

@@ -15,17 +15,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if (
-    os.environ.get("PALLAS_AXON_TPU_GEN")
-    and "TPU_ACCELERATOR_TYPE" not in os.environ
-    and os.environ.get("_FWT_REEXEC") != "1"
-):
-    gen = os.environ["PALLAS_AXON_TPU_GEN"]
-    os.environ["TPU_ACCELERATOR_TYPE"] = {
-        "v4": "v4-8", "v5e": "v5litepod-1", "v5p": "v5p-8", "v6e": "v6e-1"
-    }.get(gen, gen)
-    os.environ["_FWT_REEXEC"] = "1"
-    os.execv(sys.executable, [sys.executable] + sys.argv)
+from faster_whisper_tpu.utils import ensure_tpu_accelerator_type
+
+ensure_tpu_accelerator_type()  # may re-exec before jax boots
 
 import numpy as np
 

@@ -90,16 +90,16 @@ def _kernel_quant(
     kn_ref,  # (1, HB, K, D)  new K for this layer/step
     vn_ref,  # (1, HB, K, D)
     kq_ref,  # (1, 1, HB, K, CTX, D) int8   cache block
-    ks_ref,  # (1, 1, HB, K, CTX) f32
+    ks_ref,  # (1, 1, HB, K, CTX) bf16 scales (f32 from f32 callers)
     vq_ref,  # (1, 1, HB, K, CTX, D) int8
-    vs_ref,  # (1, 1, HB, K, CTX) f32
+    vs_ref,  # (1, 1, HB, K, CTX) bf16/f32
     anc_ref,  # (1, CTX, K) int32 (pre-transposed by the caller)
     # outputs
     attn_ref,  # (1, HB, K, D)
     kqo_ref,  # (1, 1, HB, K, WIN, D) int8   aliased write window
-    kso_ref,  # (1, 1, HB, K, CTX) f32       aliased full-slice rewrite
+    kso_ref,  # (1, 1, HB, K, CTX) bf16/f32  aliased full-slice rewrite
     vqo_ref,  # (1, 1, HB, K, WIN, D) int8
-    vso_ref,  # (1, 1, HB, K, CTX) f32
+    vso_ref,  # (1, 1, HB, K, CTX) bf16/f32
     *,
     d_scale: float,
 ):

@@ -35,6 +35,10 @@ logger = logging.getLogger("faster_whisper_tpu.server")
 _BOOL = {"1": True, "true": True, "yes": True, "0": False, "false": False,
          "no": False}
 
+
+class _TooLarge(Exception):
+    """Request body over the configured limit (-> HTTP 413)."""
+
 # transcribe() kwargs settable over HTTP, with parsers
 _OPTION_PARSERS = {
     "language": str,
@@ -161,6 +165,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             payload, fields = self._read_request()
+        except _TooLarge as exc:
+            self._send_json(413, {"error": str(exc)})
+            return
         except Exception as exc:  # malformed multipart / body
             self._send_json(400, {"error": f"bad request: {exc}"})
             return
@@ -203,10 +210,22 @@ class _Handler(BaseHTTPRequestHandler):
         out["segments"] = [_segment_dict(s, verbose) for s in segments]
         self._send_json(200, out)
 
+    max_body_bytes = 512 * 1024 * 1024  # reject larger uploads with 413
+
     def _read_request(self):
         """Returns (audio_bytes, option_fields) from multipart/form-data
         or a raw body with query-string options."""
+        if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+            raise ValueError(
+                "chunked transfer encoding not supported; send "
+                "Content-Length"
+            )
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.max_body_bytes:
+            raise _TooLarge(
+                f"body of {length} bytes exceeds the "
+                f"{self.max_body_bytes}-byte limit"
+            )
         body = self.rfile.read(length)
         ctype = self.headers.get("Content-Type", "")
         if ctype.startswith("multipart/form-data"):
@@ -261,13 +280,19 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--compute-type", default="default")
     ap.add_argument("--num-mesh-devices", type=int, default=0,
-                    help="data-parallel mesh size (0 = single device)")
+                    help="mesh size in devices (0 = single device)")
+    ap.add_argument("--tensor-parallel", type=int, default=1,
+                    help="model-axis size of the mesh (shards each layer "
+                    "over this many chips; must divide --num-mesh-devices "
+                    "and the attention head counts)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     kwargs = {}
     if args.num_mesh_devices:
         kwargs["device_index"] = list(range(args.num_mesh_devices))
+    if args.tensor_parallel > 1:
+        kwargs["tensor_parallel"] = args.tensor_parallel
     model = WhisperModel(
         args.model, compute_type=args.compute_type, **kwargs
     )

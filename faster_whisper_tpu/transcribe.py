@@ -250,12 +250,23 @@ class WhisperModel:
             else [device_index]
         )
         self.mesh = None
+        if tensor_parallel > 1 and len(idxs) < tensor_parallel:
+            raise ValueError(
+                f"tensor_parallel={tensor_parallel} needs at least that "
+                f"many devices in device_index (got {len(idxs)})"
+            )
         if len(idxs) <= 1:
             return
         import jax
 
         devs = jax.devices()
         use = [devs[i] for i in idxs if 0 <= i < len(devs)]
+        if tensor_parallel > 1 and len(use) < tensor_parallel:
+            raise ValueError(
+                f"tensor_parallel={tensor_parallel} needs at least that "
+                f"many visible devices (device_index resolved to "
+                f"{len(use)} of {len(devs)} available)"
+            )
         if len(use) <= 1:
             return
         if tensor_parallel > 1:

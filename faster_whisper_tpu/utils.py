@@ -79,6 +79,38 @@ def get_logger():
 _compilation_cache_enabled = False
 
 
+# Mosaic (Pallas) kernel compilation needs the accelerator type; some
+# tunneled TPU environments (axon relay) only export the generation name.
+_TPU_GEN_TYPES = {
+    "v4": "v4-8",
+    "v5e": "v5litepod-1",
+    "v5p": "v5p-8",
+    "v6e": "v6e-1",
+}
+
+
+def ensure_tpu_accelerator_type(argv=None):
+    """Set TPU_ACCELERATOR_TYPE from PALLAS_AXON_TPU_GEN, re-exec'ing the
+    current process when needed so the variable is visible from
+    interpreter start (the axon remote-compile relay captures the env at
+    boot, before any script code runs).  No-op when already set, when no
+    generation hint exists, or after the one re-exec.  Benchmarks and
+    bench.py call this first; the in-process fallback in
+    enable_compilation_cache covers library users."""
+    import sys
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN")
+    if (
+        not gen
+        or "TPU_ACCELERATOR_TYPE" in os.environ
+        or os.environ.get("_FWT_REEXEC") == "1"
+    ):
+        return
+    os.environ["TPU_ACCELERATOR_TYPE"] = _TPU_GEN_TYPES.get(gen, gen)
+    os.environ["_FWT_REEXEC"] = "1"
+    os.execv(sys.executable, [sys.executable] + list(argv or sys.argv))
+
+
 def enable_compilation_cache(path: Optional[str] = None):
     """Enable JAX's persistent compilation cache so the handful of programs
     this library compiles (mel, VAD, encode, prefill, decode-loop per
@@ -88,17 +120,13 @@ def enable_compilation_cache(path: Optional[str] = None):
         return
     import jax
 
-    # Mosaic (Pallas) kernel compilation needs the accelerator type; some
-    # tunneled TPU environments (axon relay) don't propagate it.
+    # In-process fallback of ensure_tpu_accelerator_type (no re-exec:
+    # library users may hold state; Mosaic reads this lazily at kernel
+    # compile time so an in-process set usually suffices).
     if "TPU_ACCELERATOR_TYPE" not in os.environ:
         gen = os.environ.get("PALLAS_AXON_TPU_GEN")
         if gen:
-            os.environ["TPU_ACCELERATOR_TYPE"] = {
-                "v4": "v4-8",
-                "v5e": "v5litepod-1",
-                "v5p": "v5p-8",
-                "v6e": "v6e-1",
-            }.get(gen, gen)
+            os.environ["TPU_ACCELERATOR_TYPE"] = _TPU_GEN_TYPES.get(gen, gen)
 
     if path is None:
         path = os.environ.get(

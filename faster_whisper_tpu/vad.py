@@ -55,11 +55,12 @@ def get_speech_timestamps(
 
     Returns a list of {"start": sample, "end": sample} dicts.
     Behavior contract: reference vad.py:45-183.  ``audio_device`` may pass
-    an already-uploaded jax copy of ``audio`` (e.g. a serving integration
-    that already holds PCM on device) to skip this call's host->device
-    transfer; results match the host path exactly.  The built-in pipelines
-    pass host arrays — their feature uploads cover different sample spans,
-    so a shared upload would not pay for itself there.
+    an already-uploaded jax copy of ``audio`` to skip this call's
+    host->device transfer — the batched pipeline does exactly this with
+    its shared PCM upload (transcribe.py, FWT_SHARED_UPLOAD).  Both paths
+    quantize to the same int16 grid on device (FWT_I16_TRANSFER), so
+    decisions match between them; pass FWT_I16_TRANSFER=0 for bit-exact
+    float32 end to end.
     """
     if vad_options is None:
         vad_options = VadOptions(**kwargs)

@@ -119,3 +119,20 @@ def test_missing_file_is_400(server_url):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_oversized_body_is_413(server_url):
+    req = urllib.request.Request(
+        server_url + "/v1/audio/transcriptions",
+        data=b"x",
+        headers={
+            "Content-Type": "application/octet-stream",
+            "Content-Length": str(600 * 1024 * 1024),
+        },
+    )
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        e.read()
