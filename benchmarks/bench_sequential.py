@@ -45,17 +45,32 @@ def main():
     audio = np.tile(jfk, 9)[: 95 * 16000]  # 95 s
 
     def run():
+        # max_new_tokens pinned (as in bench.py): free-running decodes on
+        # random weights otherwise run to the 448 cap and the number is
+        # hostage to noise; single temperature kills spurious
+        # fallback-ladder rungs that random-logit compression ratios
+        # trigger.  The per-window figure is the comparable metric — the
+        # window count itself depends on random timestamp tokens.
         t0 = time.perf_counter()
-        segs, _ = model.transcribe(audio, language="en", beam_size=5)
-        n = sum(1 for _ in segs)
-        return time.perf_counter() - t0, n
+        segs, _ = model.transcribe(
+            audio,
+            language="en",
+            beam_size=5,
+            max_new_tokens=128,
+            temperature=[0.0],
+        )
+        segs = list(segs)
+        windows = len({s.seek for s in segs})
+        return time.perf_counter() - t0, len(segs), windows
 
-    warm, n = run()
-    print(f"# warmup: {warm:.2f}s, {n} segments", file=sys.stderr)
-    times = [run()[0] for _ in range(3)]
+    warm, n, w = run()
+    print(f"# warmup: {warm:.2f}s, {n} segments, {w} windows", file=sys.stderr)
+    results = [run() for _ in range(3)]
+    best, _, w = min(results)
     print(
-        f"sequential 95s audio ({model_name} {compute_type}, beam=5): "
-        f"{min(times):.2f}s"
+        f"sequential 95s audio ({model_name} {compute_type}, beam=5, "
+        f"128 tok/window): {best:.2f}s over {w} windows "
+        f"({best / max(w, 1):.2f} s/window)"
     )
 
 

@@ -79,14 +79,18 @@ def mha_hmajor(
 
 
 def _flash_enabled() -> bool:
-    # Opt-in (FWT_FLASH=1).  Measured on v5e at the encoder's shapes
-    # (B=8, H=20, S=1500, D=64): XLA's plain path runs ~5 ms/layer vs ~13
-    # ms/layer for the stock Pallas flash kernel — XLA's own attention
-    # lowering already avoids the naive 3-pass score materialization at
-    # these sizes, so the fused kernel only pays off at much longer S.
+    # Default ON for TPU backends (FWT_FLASH=0 disables).  Measured on
+    # v5e at the encoder's shapes (B=8, H=20, S=1500, D=64),
+    # benchmarks/profile_encoder_attn.py:
+    #   XLA plain path            5.33 ms/layer (materializes (S,S) f32)
+    #   flash, 512x512 blocks     2.96 ms/layer  <- production
+    #   flash, library defaults  ~13 ms/layer (the round-1 measurement
+    #                             that kept this path off — block sizing
+    #                             was the whole story)
+    #   splash (vmapped/batch)   15.1 ms/layer
     import os
 
-    if os.environ.get("FWT_FLASH") != "1":
+    if os.environ.get("FWT_FLASH", "1") == "0":
         return False
     return jax.default_backend() in ("tpu", "axon")
 
@@ -94,12 +98,10 @@ def _flash_enabled() -> bool:
 def mha_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Unmasked full MHA (encoder self-attention), (B, S, H, D) layout.
 
-    Production path: the plain XLA attention above (measured ~5 ms/layer
-    at the encoder's B=8, H=20, S=1500, D=64 on v5e).  With FWT_FLASH=1
-    it routes long sequences to the stock Pallas flash kernel instead —
-    measured ~13 ms/layer at the same shapes, i.e. SLOWER here (XLA
-    already avoids materializing the (S, S) scores naively), kept only
-    as an escape hatch for future much-longer-S experiments.
+    Production path on TPU for S >= 1024: the Pallas flash kernel with
+    512-wide blocks (2.96 ms/layer vs XLA's 5.33 at encoder shapes — see
+    _flash_enabled).  Elsewhere (CPU tests, short S) the plain XLA
+    attention above.
     """
     s = q.shape[1]
     if _flash_enabled() and s >= 1024 and k.shape[1] == s:
@@ -107,14 +109,18 @@ def mha_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return mha(q, k, v)
 
 
+_FLASH_BLOCK = 512
+
+
 def _mha_flash_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
 
     b, s, h, d = q.shape
-    pad = (-s) % 512
+    pad = (-s) % _FLASH_BLOCK
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -129,8 +135,16 @@ def _mha_flash_full(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     else:
         segment_ids = None
 
+    blk = min(_FLASH_BLOCK, s + pad)
+    block_sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk,
+    )
     out = flash_attention(
-        qt, kt, vt, segment_ids=segment_ids, sm_scale=float(d) ** -0.5
+        qt, kt, vt, segment_ids=segment_ids, sm_scale=float(d) ** -0.5,
+        block_sizes=block_sizes,
     )
     return out[:, :, :s].transpose(0, 2, 1, 3)
 

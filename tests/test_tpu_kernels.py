@@ -65,3 +65,23 @@ def test_compiled_kernel_matches_xla_on_chip(quant):
         np.testing.assert_allclose(
             np.asarray(sv_ker.s), np.asarray(sv_ref.s), rtol=1e-5
         )
+
+
+def test_flash_encoder_attention_matches_xla():
+    """The tuned flash path (production for S >= 1024) must match the
+    plain XLA attention to accumulation tolerance, including the padded
+    tail (1500 -> 1536) staying out of the softmax."""
+    import os
+
+    from faster_whisper_tpu.ops.attention import _mha_flash_full, mha
+
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 1500, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+
+    ref = np.asarray(jax.jit(mha)(q, k, v), np.float32)
+    got = np.asarray(jax.jit(_mha_flash_full)(q, k, v), np.float32)
+    tol = 2e-2 * np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=tol)
