@@ -14,6 +14,7 @@ where the reference keeps it; only the probabilities come from the device.
 
 import bisect
 import functools
+import os
 
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
@@ -91,6 +92,62 @@ def get_speech_timestamps(
     probs = model(padded)
 
     # --- hysteresis state machine over window probabilities ---
+    # Native C transliteration first (~24k iterations per 13 minutes of
+    # audio cost ~0.2 s in Python); exact-equality vs the Python loop is
+    # pinned by tests/test_vad.py.  FWT_NATIVE_VAD_SM=0 forces Python.
+    speeches = None
+    if os.environ.get("FWT_NATIVE_VAD_SM", "1") != "0":
+        from faster_whisper_tpu.vad_native import hysteresis_native
+
+        speeches = hysteresis_native(
+            probs, window, threshold, neg_threshold, min_speech_samples,
+            max_speech_samples, min_silence_samples,
+            min_silence_at_max_speech, n_samples,
+        )
+    if speeches is None:
+        speeches = _hysteresis_py(
+            probs, window, threshold, neg_threshold, min_speech_samples,
+            max_speech_samples, min_silence_samples,
+            min_silence_at_max_speech, n_samples,
+        )
+
+    # --- pad chunks and share short inter-chunk silences ---
+    for i, speech in enumerate(speeches):
+        if i == 0:
+            speech["start"] = int(max(0, speech["start"] - pad_samples))
+        if i != len(speeches) - 1:
+            gap = speeches[i + 1]["start"] - speech["end"]
+            if gap < 2 * pad_samples:
+                speech["end"] += int(gap // 2)
+                speeches[i + 1]["start"] = int(
+                    max(0, speeches[i + 1]["start"] - gap // 2)
+                )
+            else:
+                speech["end"] = int(min(n_samples, speech["end"] + pad_samples))
+                speeches[i + 1]["start"] = int(
+                    max(0, speeches[i + 1]["start"] - pad_samples)
+                )
+        else:
+            speech["end"] = int(min(n_samples, speech["end"] + pad_samples))
+
+    return speeches
+
+
+def _hysteresis_py(
+    probs,
+    window: int,
+    threshold: float,
+    neg_threshold: float,
+    min_speech_samples: float,
+    max_speech_samples: float,
+    min_silence_samples: float,
+    min_silence_at_max_speech: float,
+    n_samples: int,
+) -> List[dict]:
+    """Reference Python implementation of the hysteresis loop (behavior
+    contract: reference vad.py:96-152).  The production path runs the
+    identical branches in C (native/vad_sm.cpp); this stays as the
+    fallback and the parity oracle."""
     speeches: List[dict] = []
     current: dict = {}
     triggered = False
@@ -148,26 +205,6 @@ def get_speech_timestamps(
     if current and (n_samples - current["start"]) > min_speech_samples:
         current["end"] = n_samples
         speeches.append(current)
-
-    # --- pad chunks and share short inter-chunk silences ---
-    for i, speech in enumerate(speeches):
-        if i == 0:
-            speech["start"] = int(max(0, speech["start"] - pad_samples))
-        if i != len(speeches) - 1:
-            gap = speeches[i + 1]["start"] - speech["end"]
-            if gap < 2 * pad_samples:
-                speech["end"] += int(gap // 2)
-                speeches[i + 1]["start"] = int(
-                    max(0, speeches[i + 1]["start"] - gap // 2)
-                )
-            else:
-                speech["end"] = int(min(n_samples, speech["end"] + pad_samples))
-                speeches[i + 1]["start"] = int(
-                    max(0, speeches[i + 1]["start"] - pad_samples)
-                )
-        else:
-            speech["end"] = int(min(n_samples, speech["end"] + pad_samples))
-
     return speeches
 
 

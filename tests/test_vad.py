@@ -182,3 +182,37 @@ def test_get_speech_timestamps_accepts_device_audio(jfk_path):
     host = get_speech_timestamps(audio, opts)
     dev = get_speech_timestamps(audio, opts, audio_device=jnp.asarray(audio))
     assert host == dev
+
+
+def test_native_hysteresis_matches_python():
+    """The C transliteration (native/vad_sm.cpp) must match the Python
+    hysteresis loop EXACTLY across random probability streams and option
+    corners (max-speech splits, min-silence, thresholds)."""
+    from faster_whisper_tpu.vad import _hysteresis_py
+    from faster_whisper_tpu.vad_native import hysteresis_native
+
+    rng = np.random.default_rng(0)
+    param_sets = [
+        # (threshold, neg, min_speech, max_speech, min_sil, sil_at_max)
+        (0.5, 0.35, 4000.0, float("inf"), 2000.0, 1568.0),
+        (0.5, 0.35, 0.0, 16000 * 4.0, 32000.0, 1568.0),
+        (0.3, 0.15, 250.0, 16000 * 2.5, 1600.0, 1568.0),
+        (0.8, 0.65, 0.0, 16000 * 1.0, 500.0, 1568.0),
+    ]
+    n = 4000
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        # random walk in [0,1]: realistic slow-moving speech probability
+        steps = r.normal(0, 0.08, n)
+        probs = np.clip(np.cumsum(steps) % 2, 0, None)
+        probs = np.abs(1 - np.abs(1 - probs)).astype(np.float32)
+        for params in param_sets:
+            thr, neg, msp, mxs, msl, sam = params
+            py = _hysteresis_py(
+                probs, 512, thr, neg, msp, mxs, msl, sam, n * 512
+            )
+            nat = hysteresis_native(
+                probs, 512, thr, neg, msp, mxs, msl, sam, n * 512
+            )
+            assert nat is not None, "native lib failed to build"
+            assert nat == py, (seed, params)
