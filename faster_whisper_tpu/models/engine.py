@@ -145,6 +145,27 @@ def _median_filter_time(x: np.ndarray, width: int) -> np.ndarray:
     return median_filter(x, size=size, mode="mirror")
 
 
+def alignment_matrix(
+    qk: np.ndarray, t_frames: int, median_filter_width: int
+) -> np.ndarray:
+    """openai's DTW input recipe on a (K, S', T) raw-score slice:
+    per-head softmax over the FULL encoder time axis, THEN truncation to
+    the content frames (openai/HF/CT2 order — truncating first rescales
+    every row by its tail mass), per-column standardization over tokens,
+    median filter along time, mean over heads -> (S', t_frames).  Pinned
+    against HF transformers' own chain by
+    tests/test_hf_alignment_parity.py."""
+    w = qk - qk.max(axis=-1, keepdims=True)
+    w = np.exp(w)
+    w /= w.sum(axis=-1, keepdims=True)
+    w = w[..., :t_frames]
+    mean = w.mean(axis=-2, keepdims=True)
+    std = w.std(axis=-2, keepdims=True) + 1e-9
+    w = (w - mean) / std
+    w = _median_filter_time(w, median_filter_width)
+    return w.mean(axis=0)
+
+
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Monotonic DTW over a (N, M) cost matrix; returns (text_idx, time_idx)
     backtraced path.  Vectorized over anti-diagonals (the N,M here are at
@@ -452,15 +473,11 @@ class WhisperEngine:
 
             # alignment matrix over [text..., eot] rows
             t_frames = max(1, num_frames[i] // 2)
-            w = qk[i, :, start : start + n_text + 1, :t_frames]  # (K, S', T')
-            w = w - w.max(axis=-1, keepdims=True)
-            w = np.exp(w)
-            w /= w.sum(axis=-1, keepdims=True)
-            mean = w.mean(axis=-2, keepdims=True)
-            std = w.std(axis=-2, keepdims=True) + 1e-9
-            w = (w - mean) / std
-            w = _median_filter_time(w, median_filter_width)
-            matrix = w.mean(axis=0)  # (S', T')
+            matrix = alignment_matrix(
+                qk[i, :, start : start + n_text + 1, :],
+                t_frames,
+                median_filter_width,
+            )
 
             text_idx, time_idx = dtw_path(-matrix.astype(np.float64))
             alignments = list(zip(text_idx.tolist(), time_idx.tolist()))
