@@ -269,6 +269,46 @@ def _exact_topk(x: jax.Array, k: int, chunk: int = 512):
     return v, orig
 
 
+def _gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """``take_along_axis(x, idx, axis=1)`` as a static unroll of masked
+    selects.  x (B, J, ...), idx (B, K) -> (B, K, ...).
+
+    TPU lowers small dynamic gathers/scatters inside the decode loop to
+    serialized ops costing ~100s of us each (the beam bookkeeping was
+    ~1.7 ms/step of the 8.5 ms step); J here is tiny (<= F + 2K), so J
+    masked selects on the VPU are far cheaper — and integer-exact, unlike
+    a one-hot matmul under bf16-rounding matmul defaults."""
+    j_dim = x.shape[1]
+    out = jnp.zeros(x.shape[:1] + (idx.shape[1],) + x.shape[2:], x.dtype)
+    for j in range(j_dim):
+        sel = idx == j  # (B, K)
+        sel = sel.reshape(sel.shape + (1,) * (x.ndim - 2))
+        out = jnp.where(sel, x[:, j : j + 1], out)
+    return out
+
+
+def _write_column(x: jax.Array, pos: jax.Array, val: jax.Array) -> jax.Array:
+    """Write val (B, K) at column pos (B, K) of x (B, K, C) — a masked
+    select instead of a scatter."""
+    c = x.shape[2]
+    hit = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2) == pos[:, :, None]
+    return jnp.where(hit, val[:, :, None], x)
+
+
+def _scatter_slots(
+    cand: jax.Array, slot: jax.Array, k_out: int, fill
+) -> jax.Array:
+    """out[b, s] = cand[b, j] where slot[b, j] == s for s < k_out; slots
+    never hit keep ``fill``; slot values >= k_out are dropped.  Static
+    unroll over the (tiny) candidate axis — see _gather_rows."""
+    out = jnp.full((cand.shape[0], k_out), fill, cand.dtype)
+    s_ids = jnp.arange(k_out, dtype=slot.dtype)[None, :]
+    for j in range(cand.shape[1]):
+        hit = slot[:, j][:, None] == s_ids
+        out = jnp.where(hit, cand[:, j][:, None], out)
+    return out
+
+
 def _expand_caches(cache0, K: int, kv_int8: bool):
     """Broadcast the prefill cache to the (B, K) beam grid, optionally
     quantizing both the self and cross K/V to int8 (the decode loop's
@@ -360,8 +400,6 @@ def beam_search(
     fin_lens = jnp.zeros((b, F), jnp.int32)
     fin_scores = jnp.full((b, F), NEG_INF, jnp.float32)
 
-    b_idx = jnp.arange(b)[:, None]
-
     def cond(state):
         (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
          fin_tokens, fin_lens, fin_scores, done) = state
@@ -388,7 +426,7 @@ def beam_search(
         is_eot = cand_tok == meta.eot
 
         prompt_len_b = jnp.broadcast_to(prompt_len[:, None], (b, 2 * K))
-        gen_len = jnp.take_along_axis(lens, cand_beam, axis=1) - prompt_len_b
+        gen_len = _gather_rows(lens, cand_beam) - prompt_len_b
 
         # ---- finished pool: merge eot candidates ----
         safe_len = jnp.maximum(gen_len, 1).astype(jnp.float32)
@@ -396,46 +434,41 @@ def beam_search(
         eot_scores = jnp.where(is_eot & ~done[:, None], norm_score, NEG_INF)
 
         all_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)  # (B, F+2K)
-        cand_buf = jnp.take_along_axis(
-            tokens, cand_beam[:, :, None], axis=1
-        )  # (B, 2K, ctx)
+        cand_buf = _gather_rows(tokens, cand_beam)  # (B, 2K, ctx)
         all_bufs = jnp.concatenate([fin_tokens, cand_buf], axis=1)
         all_lens = jnp.concatenate(
-            [fin_lens, jnp.take_along_axis(lens, cand_beam, axis=1)], axis=1
+            [fin_lens, _gather_rows(lens, cand_beam)], axis=1
         )
         top_scores, top_idx = jax.lax.top_k(all_scores, F)
         fin_scores = top_scores
-        fin_tokens = jnp.take_along_axis(all_bufs, top_idx[:, :, None], axis=1)
-        fin_lens = jnp.take_along_axis(all_lens, top_idx, axis=1)
+        fin_tokens = _gather_rows(all_bufs, top_idx)
+        fin_lens = _gather_rows(all_lens, top_idx)
 
         # ---- refill active beams with the best K non-eot candidates ----
         keep = ~is_eot
         rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # 1-based among kept
         slot = jnp.where(keep & (rank <= K), rank - 1, K)  # K = drop
-        # scatter candidates into K slots (order-preserving => score-sorted)
-        new_beam = jnp.zeros((b, K + 1), jnp.int32)
-        new_tok = jnp.zeros((b, K + 1), jnp.int32)
-        new_cum = jnp.full((b, K + 1), NEG_INF, jnp.float32)
-        new_beam = new_beam.at[b_idx, slot].set(cand_beam, mode="drop")
-        new_tok = new_tok.at[b_idx, slot].set(cand_tok, mode="drop")
-        new_cum = new_cum.at[b_idx, slot].set(cand_val, mode="drop")
-        new_beam, new_tok, new_cum = new_beam[:, :K], new_tok[:, :K], new_cum[:, :K]
+        # slot-scatter candidates into K slots (order-preserving =>
+        # score-sorted; unrolled masked selects, no scatter lowering)
+        new_beam = _scatter_slots(cand_beam, slot, K, 0)
+        new_tok = _scatter_slots(cand_tok, slot, K, 0)
+        new_cum = _scatter_slots(cand_val, slot, K, NEG_INF)
 
         # ---- reorder state by parent beam, append the new token ----
         parent = new_beam  # (B, K)
-        tokens_new = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
-        lens_new = jnp.take_along_axis(lens, parent, axis=1)
+        tokens_new = _gather_rows(tokens, parent)
+        lens_new = _gather_rows(lens, parent)
         write_pos = jnp.clip(lens_new, 0, ctx - 1)
         k_arange = jnp.arange(K)[None, :]
-        tokens_new = tokens_new.at[b_idx, k_arange, write_pos].set(new_tok)
+        tokens_new = _write_column(tokens_new, write_pos, new_tok)
         lens_new = jnp.minimum(lens_new + 1, ctx)
 
         # Virtual cache re-parenting: permute only the (B, K, ctx) ancestry
         # table; the new token's K/V will be written to this beam's own
         # slot by the decoder step below.
-        anc_new = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
-        anc_new = anc_new.at[b_idx, k_arange, write_pos].set(
-            jnp.broadcast_to(k_arange, (b, K))
+        anc_new = _gather_rows(anc, parent)
+        anc_new = _write_column(
+            anc_new, write_pos, jnp.broadcast_to(k_arange, (b, K))
         )
 
         # ---- stopping ----
@@ -467,6 +500,11 @@ def beam_search(
         tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
         fin_tokens, fin_lens, fin_scores, jnp.zeros((b,), bool),
     )
+    # NB: profiled on v5e at bench shapes, the full loop runs ~8.5 ms/step
+    # vs 6.9 for an ablation without the finished-pool block; the gap is
+    # scheduling interaction, not any single op (the pool's tensors are
+    # tiny, the bookkeeping is scatter-free masked selects, and chunking
+    # the exit check to amortize the cond changed nothing).
     (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
      fin_tokens, fin_lens, fin_scores, done) = jax.lax.while_loop(
         cond, body, state
@@ -541,9 +579,6 @@ def sample(
         jnp.arange(K, dtype=jnp.int32)[None, :, None], (b, K, ctx)
     )
 
-    b_idx = jnp.arange(b)[:, None]
-    k_idx = jnp.arange(K)[None, :]
-
     def cond(state):
         tokens, lens, sum_lp, finished, self_k, self_v, cur_logits, key = state
         return jnp.any(~finished & (lens < jnp.minimum(max_length, ctx)))
@@ -580,8 +615,14 @@ def sample(
         write_pos = jnp.clip(lens, 0, ctx - 1)  # position of the new token
         is_eot = next_tok == meta.eot
         # eot is recorded in the buffer but excluded from the length
-        tokens = tokens.at[b_idx, k_idx, write_pos].set(
-            jnp.where(finished, tokens[b_idx, k_idx, write_pos], next_tok)
+        # masked-select column write (scatters serialize on TPU);
+        # finished beams keep their buffer untouched
+        hit = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, ctx), 2)
+            == write_pos[:, :, None]
+        )
+        tokens = jnp.where(
+            hit & ~finished[:, :, None], next_tok[:, :, None], tokens
         )
         lens = jnp.where(finished | is_eot, lens, lens + 1)
         finished_new = finished | is_eot

@@ -183,11 +183,19 @@ def _apply_masks(
     if opts.with_timestamps:
         tsb = meta.timestamp_begin
         is_ts = vocab_ids >= tsb  # (1, V)
-        row = jnp.arange(r)
         ctx = tokens.shape[1]
 
-        last = tokens[row, jnp.clip(cur_len - 1, 0, ctx - 1)]
-        penult = tokens[row, jnp.clip(cur_len - 2, 0, ctx - 1)]
+        # one-element-per-row reads as masked reductions: tiny dynamic
+        # gathers serialize on TPU inside the decode loop
+        pos_ids = jnp.arange(ctx, dtype=jnp.int32)[None, :]
+
+        def col(idx):
+            return jnp.sum(
+                jnp.where(pos_ids == idx[:, None], tokens, 0), axis=1
+            )
+
+        last = col(jnp.clip(cur_len - 1, 0, ctx - 1))
+        penult = col(jnp.clip(cur_len - 2, 0, ctx - 1))
         last_was_ts = (n_sampled >= 1) & (last >= tsb)
         penult_was_ts = (n_sampled < 2) | (penult >= tsb)
 
