@@ -1,0 +1,71 @@
+"""CLI surface: python -m faster_whisper_tpu."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    import wave
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(16000 * 2) * 3000).astype(np.int16)
+    path = tmp_path_factory.mktemp("cli") / "a.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    return str(path)
+
+
+def _run_cli(monkeypatch, wav_file, *extra):
+    """Run main() in-process with the tiny random model patched in."""
+    from faster_whisper_tpu import __main__ as cli
+    from faster_whisper_tpu.testing import build_test_model
+
+    monkeypatch.setattr(
+        "faster_whisper_tpu.WhisperModel",
+        lambda *a, **k: build_test_model(),
+    )
+    import io
+
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    cli.main([wav_file, "--language", "en", "--beam-size", "1",
+              "--no-vad", "--batch-size", "2", *extra])
+    return out.getvalue()
+
+
+def test_cli_srt(monkeypatch, wav_file):
+    out = _run_cli(monkeypatch, wav_file, "--output-format", "srt")
+    assert "-->" in out and out.strip().split("\n")[0] == "1"
+
+
+def test_cli_json(monkeypatch, wav_file):
+    out = _run_cli(monkeypatch, wav_file, "--output-format", "json")
+    data = json.loads(out)
+    assert "segments" in data
+    for seg in data["segments"]:
+        assert seg["end"] >= seg["start"]
+
+
+def test_cli_vtt_header(monkeypatch, wav_file):
+    out = _run_cli(monkeypatch, wav_file, "--output-format", "vtt")
+    assert out.startswith("WEBVTT")
+
+
+def test_cli_help_runs():
+    r = subprocess.run(
+        [sys.executable, "-m", "faster_whisper_tpu", "--help"],
+        capture_output=True,
+        text=True,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "PALLAS_AXON_POOL_IPS": ""},
+        timeout=120,
+    )
+    assert r.returncode == 0 and "transcribe" in r.stdout
