@@ -34,7 +34,6 @@ from faster_whisper_tpu.generation.processors import (
     NEG_INF,
     ProcessorOptions,
     TokenMeta,
-    apply_logits_rules,
 )
 from faster_whisper_tpu.models.config import CONFIGS
 from faster_whisper_tpu.models.load import random_params_device
@@ -151,61 +150,57 @@ def main():
 
     @jax.jit
     def selection_only(tokens, logits):
-        # all large operands arrive as arguments; only scalars close over
-        lens = jnp.full((B, K), 4, jnp.int32)
-        sum_lp = jnp.zeros((B, K), jnp.float32)
-        fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
-        fin_tokens = jnp.zeros((B, K, CTX), jnp.int32)
-        fin_lens = jnp.zeros((B, K), jnp.int32)
-        b_idx = jnp.arange(B)[:, None]
+        # the production selection ops: fused rules+log_softmax, exact
+        # chunked top-k, scatter-free (masked-select) bookkeeping
+        from faster_whisper_tpu.generation.generate import (
+            _exact_topk, _gather_rows, _scatter_slots, _write_column,
+        )
+        from faster_whisper_tpu.generation.processors import (
+            apply_logits_rules_logprobs,
+        )
+
         pl = jnp.full((B,), 4, jnp.int32)
 
         def body(i, carry):
             tokens, lens, sum_lp, fin_tokens, fin_lens, fin_scores, acc = carry
             flat_begin = jnp.broadcast_to(pl[:, None], (B, K)).reshape(B * K)
-            masked = apply_logits_rules(
+            logprobs = apply_logits_rules_logprobs(
                 (logits + acc).reshape(B * K, V),
                 tokens.reshape(B * K, CTX),
-                (lens + i).reshape(B * K),
+                lens.reshape(B * K),
                 flat_begin, meta, proc_opts,
             ).reshape(B, K, V)
-            logprobs = jax.nn.log_softmax(masked, axis=-1)
             total = sum_lp[:, :, None] + logprobs
-            cand_val, cand_idx = jax.lax.top_k(total.reshape(B, K * V), 2 * K)
-            cand_beam = cand_idx // V
-            cand_tok = cand_idx % V
+            cand_val, cand_idx = _exact_topk(total.reshape(B, K * V), 2 * K)
+            cand_beam = (cand_idx // V).astype(jnp.int32)
+            cand_tok = (cand_idx % V).astype(jnp.int32)
             is_eot = cand_tok == meta.eot
-            gen_len = jnp.take_along_axis(lens, cand_beam, axis=1) - 0
+            gen_len = _gather_rows(lens, cand_beam)
             norm = cand_val / jnp.maximum(gen_len, 1).astype(jnp.float32)
             eot_scores = jnp.where(is_eot, norm, NEG_INF)
             all_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)
-            cand_buf = jnp.take_along_axis(tokens, cand_beam[:, :, None], axis=1)
+            cand_buf = _gather_rows(tokens, cand_beam)
             all_bufs = jnp.concatenate([fin_tokens, cand_buf], axis=1)
             all_lens = jnp.concatenate(
-                [fin_lens, jnp.take_along_axis(lens, cand_beam, axis=1)], axis=1
+                [fin_lens, _gather_rows(lens, cand_beam)], axis=1
             )
             top_scores, top_idx = jax.lax.top_k(all_scores, K)
-            fin_tokens2 = jnp.take_along_axis(all_bufs, top_idx[:, :, None], axis=1)
-            fin_lens2 = jnp.take_along_axis(all_lens, top_idx, axis=1)
+            fin_tokens2 = _gather_rows(all_bufs, top_idx)
+            fin_lens2 = _gather_rows(all_lens, top_idx)
             keep = ~is_eot
             rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)
             slot = jnp.where(keep & (rank <= K), rank - 1, K)
-            new_beam = jnp.zeros((B, K + 1), jnp.int32)
-            new_tok = jnp.zeros((B, K + 1), jnp.int32)
-            new_cum = jnp.full((B, K + 1), NEG_INF, jnp.float32)
-            new_beam = new_beam.at[b_idx, slot].set(cand_beam, mode="drop")
-            new_tok = new_tok.at[b_idx, slot].set(cand_tok, mode="drop")
-            new_cum = new_cum.at[b_idx, slot].set(cand_val, mode="drop")
-            parent = new_beam[:, :K]
-            tokens2 = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
-            lens2 = jnp.take_along_axis(lens, parent, axis=1)
+            new_beam = _scatter_slots(cand_beam, slot, K, 0)
+            new_tok = _scatter_slots(cand_tok, slot, K, 0)
+            new_cum = _scatter_slots(cand_val, slot, K, NEG_INF)
+            tokens2 = _gather_rows(tokens, new_beam)
+            lens2 = _gather_rows(lens, new_beam)
             wp = jnp.clip(lens2, 0, CTX - 1)
-            tokens2 = tokens2.at[b_idx, jnp.arange(K)[None, :], wp].set(
-                new_tok[:, :K]
-            )
+            tokens2 = _write_column(tokens2, wp, new_tok)
             return (
-                tokens2, lens2 + 1, new_cum[:, :K], fin_tokens2, fin_lens2,
-                top_scores, acc + jnp.float32(1e-6) * cand_val[0, 0],
+                tokens2, jnp.minimum(lens2 + 1, CTX), new_cum, fin_tokens2,
+                fin_lens2, top_scores,
+                acc + jnp.float32(1e-6) * cand_val[0, 0],
             )
 
         out = jax.lax.fori_loop(
