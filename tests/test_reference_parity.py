@@ -434,3 +434,104 @@ def test_language_codes_match_reference(ref_modules):
 
     assert tuple(_LANGUAGE_CODES) == tuple(ref_tok._LANGUAGE_CODES)
     assert len(_LANGUAGE_CODES) == 100
+
+
+# ---------------------------------------------------------------------------
+# generate_with_fallback decision parity
+# ---------------------------------------------------------------------------
+
+
+def _fallback_options(mod, **over):
+    kw = dict(
+        beam_size=5, best_of=5, patience=1.0, length_penalty=1.0,
+        repetition_penalty=1.0, no_repeat_ngram_size=0,
+        log_prob_threshold=-1.0, no_speech_threshold=0.6,
+        compression_ratio_threshold=2.4,
+        condition_on_previous_text=True, prompt_reset_on_temperature=0.5,
+        temperatures=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+        initial_prompt=None, prefix=None, suppress_blank=True,
+        suppress_tokens=[-1], without_timestamps=False,
+        max_initial_timestamp=1.0, word_timestamps=False,
+        prepend_punctuations="\"'([{-", append_punctuations="\"'.,!?:)]}",
+        multilingual=False, max_new_tokens=None, clip_timestamps="0",
+        hallucination_silence_threshold=None, hotwords=None,
+    )
+    kw.update(over)
+    return mod(**kw)
+
+
+def test_generate_with_fallback_decisions_match_reference(ref_modules):
+    """The temperature-ladder policy (CR/log-prob/no-speech checks, the
+    all-failed best-pick, rung count, and per-rung engine kwargs) must
+    make byte-identical decisions to the reference's method when both run
+    over the same scripted engine results."""
+    import logging
+
+    import faster_whisper.transcribe as ref_tr
+
+    from faster_whisper_tpu.transcribe import (
+        TranscriptionOptions as OurOpts,
+        WhisperModel as OurModel,
+    )
+
+    class Result:
+        def __init__(self, seq, score, nsp):
+            self.sequences_ids = [list(seq)]
+            self.scores = [score]
+            self.no_speech_prob = nsp
+
+    class Engine:
+        def __init__(self, script):
+            self.script = script
+            self.calls = []
+
+        def generate(self, enc, prompts, **kw):
+            self.calls.append(kw)
+            seq, score, nsp = self.script[len(self.calls) - 1]
+            return [Result(seq, score, nsp)]
+
+    class Tok:
+        def decode(self, toks):
+            return " ".join(str(t) for t in toks)
+
+    def build(cls, script):
+        m = object.__new__(cls)
+        m.model = Engine(script)
+        m.logger = logging.getLogger("fallback-parity")
+        m.time_precision = 0.02
+        m.max_length = 448
+        return m
+
+    diverse = list(range(100, 130))
+    repeated = [7, 7] * 40  # zlib-compressible -> CR above 2.4
+    scenarios = [
+        # passes immediately
+        [(diverse, -0.2, 0.1)],
+        # too repetitive twice, then ok
+        [(repeated, -0.2, 0.1), (repeated, -0.3, 0.1), (diverse, -0.4, 0.1)],
+        # low log prob all the way -> all-failed best pick
+        [(diverse, -2.0 - 0.1 * i, 0.1) for i in range(6)],
+        # silence override: high no-speech + low logprob stops the ladder
+        [(diverse, -3.0, 0.9)],
+        # CR failures with one below-threshold candidate: best pick must
+        # come from the below-threshold set
+        [(repeated, -0.5, 0.1)] + [(diverse, -1.8 - 0.1 * i, 0.1)
+                                   for i in range(5)],
+    ]
+    for script in scenarios:
+        ours_m = build(OurModel, script)
+        ref_m = build(ref_tr.WhisperModel, script)
+        o_res, o_lp, o_temp, o_cr = ours_m.generate_with_fallback(
+            None, [1, 2, 3], Tok(), _fallback_options(OurOpts)
+        )
+        r_res, r_lp, r_temp, r_cr = ref_m.generate_with_fallback(
+            None, [1, 2, 3], Tok(),
+            _fallback_options(ref_tr.TranscriptionOptions),
+        )
+        assert o_res.sequences_ids == r_res.sequences_ids
+        assert o_lp == pytest.approx(r_lp)
+        assert o_temp == r_temp
+        assert o_cr == pytest.approx(r_cr)
+        assert len(ours_m.model.calls) == len(ref_m.model.calls)
+        for ok, rk in zip(ours_m.model.calls, ref_m.model.calls):
+            assert ok == rk
