@@ -402,8 +402,12 @@ def test_stereo_diarization_structure(model, stereo_wav_path):
     assert left.shape == right.shape
     assert not np.allclose(left, right)
 
-    segs_l, info_l = model.transcribe(left, language="en", beam_size=1)
-    segs_r, info_r = model.transcribe(right, language="en", beam_size=1)
+    # temperature pinned to the deterministic rung: the fallback ladder's
+    # sampled rungs draw fresh entropy, and on random weights a sampled
+    # decode occasionally strips to zero segments (run-order flake)
+    kw = dict(language="en", beam_size=1, temperature=[0.0])
+    segs_l, info_l = model.transcribe(left, **kw)
+    segs_r, info_r = model.transcribe(right, **kw)
     segs_l, segs_r = list(segs_l), list(segs_r)
     assert len(segs_l) >= 1 and len(segs_r) >= 1
     assert info_l.duration == info_r.duration
