@@ -12,11 +12,11 @@ import sys
 
 
 def _fmt_ts(seconds: float, sep: str = ",") -> str:
-    ms = int(round(seconds * 1000))
-    h, ms = divmod(ms, 3600000)
-    m, ms = divmod(ms, 60000)
-    s, ms = divmod(ms, 1000)
-    return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms:03d}"
+    from faster_whisper_tpu.utils import format_timestamp
+
+    return format_timestamp(
+        seconds, always_include_hours=True, decimal_marker=sep
+    )
 
 
 def _emit(segments, fmt, out):
@@ -118,12 +118,12 @@ def main(argv=None):
         hotwords=args.hotwords,
     )
     for path in args.audio:
-        if pipeline is not None:
+        # --no-vad has no chunking policy for the batched pipeline (it
+        # requires VAD chunks or explicit clips, like the reference), so
+        # it routes through the sequential windowed path
+        if pipeline is not None and not args.no_vad:
             segments, info = pipeline.transcribe(
-                path,
-                batch_size=args.batch_size,
-                vad_filter=not args.no_vad,
-                **kw,
+                path, batch_size=args.batch_size, vad_filter=True, **kw
             )
         else:
             segments, info = model.transcribe(

@@ -6,8 +6,13 @@
 // for 13 minutes, ~0.2 s of host time); this runs the identical
 // branches at C speed.  Exactness is pinned by
 // tests/test_vad.py::test_native_hysteresis_matches_python across random
-// probability streams — float comparisons use double, matching numpy's
-// float32->float64 promotion against Python floats.
+// probability streams INCLUDING exact-threshold boundaries.
+//
+// Comparison widths matter: under numpy 2 (NEP 50 weak promotion) the
+// Python loop's `np.float32(p) >= python_float_threshold` compares in
+// FLOAT32 (the threshold rounds to f32), so the probability comparisons
+// here use float.  Position/duration comparisons mix Python ints with
+// floats and stay double.
 
 extern "C" long fwt_vad_hysteresis(
     const float *probs, long n,
@@ -25,17 +30,19 @@ extern "C" long fwt_vad_hysteresis(
   bool has_current = false;
   long cur_start = 0;
   long temp_end = 0, prev_end = 0, next_start = 0;
+  const float thr_f = (float)threshold;
+  const float neg_f = (float)neg_threshold;
 
   for (long i = 0; i < n; ++i) {
-    double p = (double)probs[i];
+    float p = probs[i];
     long pos = window * i;
 
-    if (p >= threshold && temp_end) {
+    if (p >= thr_f && temp_end) {
       temp_end = 0;
       if (next_start < prev_end) next_start = pos;
     }
 
-    if (p >= threshold && !triggered) {
+    if (p >= thr_f && !triggered) {
       triggered = true;
       cur_start = pos;
       has_current = true;
@@ -70,7 +77,7 @@ extern "C" long fwt_vad_hysteresis(
       }
     }
 
-    if (p < neg_threshold && triggered) {
+    if (p < neg_f && triggered) {
       if (!temp_end) temp_end = pos;
       if ((double)(pos - temp_end) > min_silence_at_max_speech)
         prev_end = temp_end;

@@ -69,3 +69,20 @@ def test_cli_help_runs():
         timeout=120,
     )
     assert r.returncode == 0 and "transcribe" in r.stdout
+
+
+def test_cli_no_vad_long_audio(monkeypatch, tmp_path):
+    """--no-vad must not hit the batched pipeline's no-clips RuntimeError
+    on audio longer than one 30 s window (routes sequentially)."""
+    import wave
+
+    rng = np.random.default_rng(2)
+    pcm = (rng.standard_normal(16000 * 35) * 3000).astype(np.int16)
+    path = tmp_path / "long.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    out = _run_cli(monkeypatch, str(path))  # _run_cli passes --no-vad
+    assert isinstance(out, str)

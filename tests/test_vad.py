@@ -216,3 +216,24 @@ def test_native_hysteresis_matches_python():
             )
             assert nat is not None, "native lib failed to build"
             assert nat == py, (seed, params)
+
+
+def test_native_hysteresis_threshold_boundaries():
+    """Probabilities EXACTLY equal to the float32-rounded thresholds:
+    numpy 2 compares np.float32(p) against the Python-float threshold in
+    float32 (NEP 50 weak promotion), and the C loop must match that
+    width — a double comparison diverges when f32(threshold) != threshold."""
+    from faster_whisper_tpu.vad import _hysteresis_py
+    from faster_whisper_tpu.vad_native import hysteresis_native
+
+    thr, neg = 0.5, 0.35  # f32(0.35) < 0.35 in double
+    probs = np.array(
+        [0.9, 0.9, np.float32(0.35), 0.2, 0.2, 0.9, np.float32(0.5),
+         0.34, 0.1, 0.1, 0.9, 0.9],
+        dtype=np.float32,
+    )
+    args = (512, thr, neg, 0.0, float("inf"), 1024.0, 1568.0,
+            len(probs) * 512)
+    py = _hysteresis_py(probs, *args)
+    nat = hysteresis_native(probs, *args)
+    assert nat == py
