@@ -160,6 +160,9 @@ def main():
         )
 
         pl = jnp.full((B,), 4, jnp.int32)
+        fin_tokens = jnp.zeros((B, K, CTX), jnp.int32)
+        fin_lens = jnp.zeros((B, K), jnp.int32)
+        fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
 
         def body(i, carry):
             tokens, lens, sum_lp, fin_tokens, fin_lens, fin_scores, acc = carry

@@ -471,25 +471,32 @@ def beam_search(
             anc_new, write_pos, jnp.broadcast_to(k_arange, (b, K))
         )
 
+        # ---- next decoder step ----
+        # Dispatched from the UNFROZEN selection results: ``done`` gates
+        # only the carried outputs below, never the decoder inputs, so the
+        # scheduler can issue the step's first weight/cache streams without
+        # waiting on the stopping logic.  Done rows decode garbage tokens
+        # at advancing positions — harmless: their cache/ancestry slots and
+        # logits are never read again (outputs are snapshotted in the
+        # finished pools and the frozen carry).
+        step_pos = jnp.clip(lens_new - 1, 0, ctx - 1)
+        next_logits, self_k_new, self_v_new = _gen_decoder_step(
+            params, config, new_tok, step_pos,
+            step_pos[:, 0], self_k, self_v, cross_k, cross_v, anc_new,
+            fused=gen_opts.fused_attn,
+        )
+
         # ---- stopping ----
         n_finished = jnp.sum(fin_scores > NEG_INF / 2, axis=1)
         hit_cap = jnp.max(lens_new, axis=1) >= jnp.minimum(max_length, ctx)
         done_new = done | (n_finished >= F) | hit_cap
 
-        # frozen rows keep their previous state (caches and ancestry need no
-        # freeze: slots are append-only and done rows' outputs are already
-        # snapshotted in the finished pools)
+        # frozen rows keep their previous carried state (caches and
+        # ancestry need no freeze: slots are append-only and done rows'
+        # outputs are already snapshotted in the finished pools)
         tokens_new = jnp.where(done[:, None, None], tokens, tokens_new)
         lens_new = jnp.where(done[:, None], lens, lens_new)
         new_cum = jnp.where(done[:, None], sum_lp, new_cum)
-
-        # ---- next decoder step (frozen rows run a harmless dummy token) ----
-        step_pos = jnp.clip(lens_new - 1, 0, ctx - 1)
-        next_logits, self_k_new, self_v_new = _gen_decoder_step(
-            params, config, jnp.where(done[:, None], 0, new_tok), step_pos,
-            step_pos[:, 0], self_k, self_v, cross_k, cross_v, anc_new,
-            fused=gen_opts.fused_attn,
-        )
 
         return (
             tokens_new, lens_new, new_cum, self_k_new, self_v_new, anc_new,
@@ -500,11 +507,12 @@ def beam_search(
         tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
         fin_tokens, fin_lens, fin_scores, jnp.zeros((b,), bool),
     )
-    # NB: profiled on v5e at bench shapes, the full loop runs ~8.5 ms/step
-    # vs 6.9 for an ablation without the finished-pool block; the gap is
-    # scheduling interaction, not any single op (the pool's tensors are
-    # tiny, the bookkeeping is scatter-free masked selects, and chunking
-    # the exit check to amortize the cond changed nothing).
+    # NB: profiled on v5e at bench shapes: decoder step 6.7 ms, the whole
+    # selection/bookkeeping chain 0.6 ms isolated, full loop 8.5 ms.  The
+    # ~1.2 ms residual is loop-level scheduling, not any op: it survives
+    # scatter-free bookkeeping, cond chunking, and dispatching the decoder
+    # before the stopping logic (an ablation without the finished-pool
+    # block runs 6.9 ms/step).
     (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
      fin_tokens, fin_lens, fin_scores, done) = jax.lax.while_loop(
         cond, body, state
