@@ -86,3 +86,17 @@ def test_cli_no_vad_long_audio(monkeypatch, tmp_path):
         w.writeframes(pcm.tobytes())
     out = _run_cli(monkeypatch, str(path))  # _run_cli passes --no-vad
     assert isinstance(out, str)
+
+
+def test_cli_output_dir(monkeypatch, wav_file, tmp_path):
+    from faster_whisper_tpu import __main__ as cli
+    from faster_whisper_tpu.testing import build_test_model
+
+    monkeypatch.setattr(
+        "faster_whisper_tpu.WhisperModel", lambda *a, **k: build_test_model()
+    )
+    out_dir = tmp_path / "out"
+    cli.main([wav_file, "--language", "en", "--beam-size", "1", "--no-vad",
+              "--output-format", "srt", "--output-dir", str(out_dir)])
+    files = list(out_dir.glob("*.srt"))
+    assert len(files) == 1 and "-->" in files[0].read_text()

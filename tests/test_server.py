@@ -136,3 +136,24 @@ def test_oversized_body_is_413(server_url):
     except urllib.error.HTTPError as e:
         assert e.code == 413
         e.read()
+
+
+def test_concurrent_requests_serialize(server_url):
+    """Two simultaneous uploads must both succeed (handlers queue on the
+    service lock; ThreadingHTTPServer gives each its own thread)."""
+    import concurrent.futures
+
+    fields = {"language": "en", "beam_size": "1", "vad_filter": "false",
+              "batch_size": "2"}
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(
+                lambda seed: json.load(
+                    _post_multipart(server_url, _wav_bytes(seed=seed), fields)
+                ),
+                s,
+            )
+            for s in (10, 11)
+        ]
+        outs = [f.result(timeout=300) for f in futs]
+    assert all("segments" in o for o in outs)
