@@ -95,6 +95,9 @@ def main(argv=None):
                     help="0 = sequential (windowed) mode")
     ap.add_argument("--word-timestamps", action="store_true")
     ap.add_argument("--no-vad", action="store_true")
+    ap.add_argument("--temperature", default=None,
+                    help="comma-separated fallback ladder, e.g. '0' or "
+                    "'0,0.2,0.4' (default: the reference's 0..1.0 ladder)")
     ap.add_argument("--initial-prompt", default=None)
     ap.add_argument("--hotwords", default=None)
     ap.add_argument("--output-format", default="txt",
@@ -117,6 +120,8 @@ def main(argv=None):
         initial_prompt=args.initial_prompt,
         hotwords=args.hotwords,
     )
+    if args.temperature is not None:
+        kw["temperature"] = [float(t) for t in args.temperature.split(",")]
     for path in args.audio:
         # --no-vad has no chunking policy for the batched pipeline (it
         # requires VAD chunks or explicit clips, like the reference), so

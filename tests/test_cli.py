@@ -37,7 +37,8 @@ def _run_cli(monkeypatch, wav_file, *extra):
     out = io.StringIO()
     monkeypatch.setattr(sys, "stdout", out)
     cli.main([wav_file, "--language", "en", "--beam-size", "1",
-              "--no-vad", "--batch-size", "2", *extra])
+              "--no-vad", "--batch-size", "2", "--temperature", "0",
+              *extra])
     return out.getvalue()
 
 
@@ -97,6 +98,7 @@ def test_cli_output_dir(monkeypatch, wav_file, tmp_path):
     )
     out_dir = tmp_path / "out"
     cli.main([wav_file, "--language", "en", "--beam-size", "1", "--no-vad",
+              "--temperature", "0",
               "--output-format", "srt", "--output-dir", str(out_dir)])
     files = list(out_dir.glob("*.srt"))
     assert len(files) == 1 and "-->" in files[0].read_text()
