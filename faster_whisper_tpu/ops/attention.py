@@ -1,12 +1,20 @@
 """Multi-head attention for TPU.
 
-The XLA path below is already MXU-friendly (two batched matmuls with an
-f32-accumulated softmax between), and it is the production path for every
-shape this model runs: measured on v5e at the encoder's shapes (B=8,
-H=20, S=1500, D=64), XLA's lowering beats the stock Pallas flash kernel
-~2.6x (see _flash_enabled), so the flash route stays opt-in via
-FWT_FLASH=1 and would only pay off at much longer sequences than Whisper
-ever produces.
+Two production paths, selected by shape (see ``mha_full``):
+
+* Encoder self-attention (S >= 1024): the Pallas flash kernel with
+  512-wide blocks, DEFAULT ON for TPU backends (``FWT_FLASH=0``
+  disables).  Measured numbers live in benchmarks/README.md
+  ("Decode-loop profilers" table, profile_encoder_attn.py row); at
+  encoder shapes the 512-block flash kernel beats the plain XLA
+  lowering ~1.8x.  The library-default flash block sizes lose — block
+  sizing is the whole story.
+* Everything else (decoder cross/self at short S, CPU tests): the plain
+  XLA path below — two batched matmuls with an f32 softmax between,
+  already MXU-friendly at those shapes.
+
+Perf claims here are pointers only; the single source of truth for
+measured numbers is benchmarks/README.md.
 
 Replaces the attention kernels inside CTranslate2's C++ engine
 (reference consumes them via ctranslate2.models.Whisper.encode/generate,
