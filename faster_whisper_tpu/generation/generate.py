@@ -42,6 +42,7 @@ from faster_whisper_tpu.generation.processors import (
     ProcessorOptions,
     TokenMeta,
     apply_logits_rules_logprobs,
+    apply_logits_rules_logprobs_carried,
 )
 from faster_whisper_tpu.ops.beam_attention import (
     beam_attend_append,
@@ -309,6 +310,29 @@ def _scatter_slots(
     return out
 
 
+def _needs_history(opts: ProcessorOptions) -> bool:
+    """Static: do the logits rules need the full sampled-token buffer?"""
+    return opts.repetition_penalty != 1.0 or opts.no_repeat_ngram_size > 0
+
+
+def _tokens_view(hist_tok: jax.Array, anc: jax.Array) -> jax.Array:
+    """Reconstruct the (B, K, ctx) per-beam sampled-token view from the
+    position-history table and the ancestry map.
+
+    ``hist_tok[b, c, j]`` is the token slot j appended at position c, and
+    ``anc[b, k, c]`` names the slot whose write at position c belongs to
+    the chain now owned by beam k — so the chain's token at c is
+    ``hist_tok[b, c, anc[b, k, c]]``.  Unrolled masked selects over the
+    (tiny) slot axis; positions outside the sampled window come out as
+    whatever slot 0 wrote there (the rule chain masks them)."""
+    b, ctx, k_slots = hist_tok.shape
+    ht = jnp.swapaxes(hist_tok, 1, 2)  # (B, K, ctx), slot-major
+    out = jnp.zeros(anc.shape, jnp.int32)
+    for j in range(k_slots):
+        out = jnp.where(anc == j, ht[:, j : j + 1, :], out)
+    return out
+
+
 def _expand_caches(cache0, K: int, kv_int8: bool):
     """Broadcast the prefill cache to the (B, K) beam grid, optionally
     quantizing both the self and cross K/V to int8 (the decode loop's
@@ -363,14 +387,38 @@ def beam_search(
     sot_pos: jax.Array,  # (B,) index of <|startoftranscript|> in the prompt
     max_length: jax.Array,  # scalar: total length cap (prompt + generated)
 ):
-    """Returns (tokens (B,K,ctx), seq_len (B,K) lengths incl. prompt,
-    scores (B,K) normalized, no_speech_prob (B,))."""
+    """Backpointer beam search: the loop never materializes per-beam token
+    buffers.  Tokens are recorded once per step in a position-history pair
+    ``hist_tok``/``hist_par`` (B, ctx, K) — token appended by each slot and
+    the slot its prefix lived in — and sequences are reconstructed on the
+    host by walking the backpointers (``_backtrack``).  The finished pool
+    is three (B, F) vectors (score, end length, slot): an eot candidate is
+    fully identified by where and in which slot it ended, because history
+    columns are append-only and never rewritten.  This removes every
+    ctx-sized gather/concat from the loop body — profiled at ~1.6-2
+    ms/step of scheduler interference around the old buffer-carrying
+    finished pool (benchmarks/README.md, profile_step.py row).
+
+    The logits rules run from carried (B, K) scalars (last token, the one
+    before it, max sampled timestamp) — see
+    ``apply_logits_rules_logprobs_carried``; policy options that need real
+    history (repetition penalty, no-repeat-ngram) reconstruct the token
+    view from the history + ancestry tables per step instead
+    (``_tokens_view``), keeping one code path.
+
+    All beams of a row share one length (they advance in lockstep), so
+    lengths are carried as a single (B,) ``cur_len``.
+
+    Returns (hist_tok (B,ctx,K), hist_par (B,ctx,K), fin_slot (B,F),
+    fin_lens (B,F), fin_scores (B,F), cur_len (B,), active_score (B,),
+    no_speech_prob (B,), prompt_len (B,))."""
     K = gen_opts.beam_size
     F = gen_opts.num_finished
     lp_pow = gen_opts.length_penalty
     b, p = prompt.shape
     ctx = min(gen_opts.ctx_cap, config.n_text_ctx)
     V = meta.vocab_size
+    needs_history = _needs_history(proc_opts)
 
     gather_pos = jnp.stack([prompt_len - 1, sot_pos], axis=1)
     first_logits, cache0 = decoder_prefill(
@@ -378,10 +426,7 @@ def beam_search(
     )
     no_speech_prob = jax.nn.softmax(first_logits[:, 1], axis=-1)[:, meta.no_speech]
 
-    # Expand to the beam grid.
-    tokens = jnp.zeros((b, K, ctx), jnp.int32)
-    tokens = tokens.at[:, :, :p].set(prompt[:, None, :])
-    lens = jnp.broadcast_to(prompt_len[:, None], (b, K))
+    cur_len = prompt_len  # (B,) shared by all beams of a row
     sum_lp = jnp.where(
         jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
     ) * jnp.ones((b, 1), jnp.float32)
@@ -396,28 +441,46 @@ def beam_search(
 
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
-    fin_tokens = jnp.zeros((b, F, ctx), jnp.int32)
+    hist_tok = jnp.zeros((b, ctx, K), jnp.int32)
+    hist_par = jnp.zeros((b, ctx, K), jnp.int32)
+    # carried rule scalars (see apply_logits_rules_logprobs_carried)
+    last_tok = jnp.zeros((b, K), jnp.int32)
+    penult_tok = jnp.zeros((b, K), jnp.int32)
+    ts_max = jnp.full((b, K), -1, jnp.int32)
+
+    fin_slot = jnp.zeros((b, F), jnp.int32)
     fin_lens = jnp.zeros((b, F), jnp.int32)
     fin_scores = jnp.full((b, F), NEG_INF, jnp.float32)
 
     def cond(state):
-        (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
-         fin_tokens, fin_lens, fin_scores, done) = state
-        return jnp.any(~done)
+        return jnp.any(~state[-1])
 
     def body(state):
-        (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
-         fin_tokens, fin_lens, fin_scores, done) = state
+        (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
+         last_tok, penult_tok, ts_max, hist_tok, hist_par,
+         fin_slot, fin_lens, fin_scores, done) = state
 
-        flat_begin = jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(b * K)
-        logprobs = apply_logits_rules_logprobs(
-            cur_logits.reshape(b * K, V),
-            tokens.reshape(b * K, ctx),
-            lens.reshape(b * K),
-            flat_begin,
-            meta,
-            proc_opts,
-        ).reshape(b, K, V)
+        n_sampled = cur_len - prompt_len  # (B,)
+        if needs_history:
+            view = _tokens_view(hist_tok, anc)
+            logprobs = apply_logits_rules_logprobs(
+                cur_logits.reshape(b * K, V),
+                view.reshape(b * K, ctx),
+                jnp.broadcast_to(cur_len[:, None], (b, K)).reshape(b * K),
+                jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(b * K),
+                meta,
+                proc_opts,
+            ).reshape(b, K, V)
+        else:
+            logprobs = apply_logits_rules_logprobs_carried(
+                cur_logits.reshape(b * K, V),
+                jnp.broadcast_to(n_sampled[:, None], (b, K)).reshape(b * K),
+                last_tok.reshape(b * K),
+                penult_tok.reshape(b * K),
+                ts_max.reshape(b * K),
+                meta,
+                proc_opts,
+            ).reshape(b, K, V)
 
         total = sum_lp[:, :, None] + logprobs  # (B, K, V)
         cand_val, cand_idx = _exact_topk(total.reshape(b, K * V), 2 * K)
@@ -425,24 +488,21 @@ def beam_search(
         cand_tok = cand_idx % V
         is_eot = cand_tok == meta.eot
 
-        prompt_len_b = jnp.broadcast_to(prompt_len[:, None], (b, 2 * K))
-        gen_len = _gather_rows(lens, cand_beam) - prompt_len_b
-
-        # ---- finished pool: merge eot candidates ----
-        safe_len = jnp.maximum(gen_len, 1).astype(jnp.float32)
+        # ---- finished pool: merge eot candidates (scores/lengths/slots
+        # only — the sequences live in the history tables) ----
+        safe_len = jnp.maximum(n_sampled, 1).astype(jnp.float32)[:, None]
         norm_score = cand_val / (safe_len ** lp_pow)
         eot_scores = jnp.where(is_eot & ~done[:, None], norm_score, NEG_INF)
 
         all_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)  # (B, F+2K)
-        cand_buf = _gather_rows(tokens, cand_beam)  # (B, 2K, ctx)
-        all_bufs = jnp.concatenate([fin_tokens, cand_buf], axis=1)
         all_lens = jnp.concatenate(
-            [fin_lens, _gather_rows(lens, cand_beam)], axis=1
+            [fin_lens, jnp.broadcast_to(cur_len[:, None], (b, 2 * K))], axis=1
         )
+        all_slots = jnp.concatenate([fin_slot, cand_beam], axis=1)
         top_scores, top_idx = jax.lax.top_k(all_scores, F)
         fin_scores = top_scores
-        fin_tokens = _gather_rows(all_bufs, top_idx)
         fin_lens = _gather_rows(all_lens, top_idx)
+        fin_slot = _gather_rows(all_slots, top_idx)
 
         # ---- refill active beams with the best K non-eot candidates ----
         keep = ~is_eot
@@ -454,21 +514,33 @@ def beam_search(
         new_tok = _scatter_slots(cand_tok, slot, K, 0)
         new_cum = _scatter_slots(cand_val, slot, K, NEG_INF)
 
-        # ---- reorder state by parent beam, append the new token ----
+        # ---- record the step in the history tables ----
         parent = new_beam  # (B, K)
-        tokens_new = _gather_rows(tokens, parent)
-        lens_new = _gather_rows(lens, parent)
-        write_pos = jnp.clip(lens_new, 0, ctx - 1)
-        k_arange = jnp.arange(K)[None, :]
-        tokens_new = _write_column(tokens_new, write_pos, new_tok)
-        lens_new = jnp.minimum(lens_new + 1, ctx)
+        write_pos = jnp.clip(cur_len, 0, ctx - 1)  # (B,)
+        hit = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, ctx, 1), 1)
+            == write_pos[:, None, None]
+        ) & ~done[:, None, None]  # done rows must not corrupt history
+        hist_tok = jnp.where(hit, new_tok[:, None, :], hist_tok)
+        hist_par = jnp.where(hit, parent[:, None, :], hist_par)
+
+        # carried rule scalars follow the re-parenting
+        penult_new = _gather_rows(last_tok, parent)
+        ts_prev = _gather_rows(ts_max, parent)
+        ts_new = jnp.where(
+            new_tok >= meta.timestamp_begin,
+            jnp.maximum(ts_prev, new_tok),
+            ts_prev,
+        )
 
         # Virtual cache re-parenting: permute only the (B, K, ctx) ancestry
         # table; the new token's K/V will be written to this beam's own
         # slot by the decoder step below.
+        k_arange = jnp.arange(K)[None, :]
+        write_pos_bk = jnp.broadcast_to(write_pos[:, None], (b, K))
         anc_new = _gather_rows(anc, parent)
         anc_new = _write_column(
-            anc_new, write_pos, jnp.broadcast_to(k_arange, (b, K))
+            anc_new, write_pos_bk, jnp.broadcast_to(k_arange, (b, K))
         )
 
         # ---- next decoder step ----
@@ -476,59 +548,57 @@ def beam_search(
         # only the carried outputs below, never the decoder inputs, so the
         # scheduler can issue the step's first weight/cache streams without
         # waiting on the stopping logic.  Done rows decode garbage tokens
-        # at advancing positions — harmless: their cache/ancestry slots and
-        # logits are never read again (outputs are snapshotted in the
-        # finished pools and the frozen carry).
-        step_pos = jnp.clip(lens_new - 1, 0, ctx - 1)
+        # at a frozen position — harmless: their cache/ancestry slots and
+        # logits are never read again (the finished pool and the frozen
+        # carry already hold their outputs, and their history writes are
+        # masked off above).
         next_logits, self_k_new, self_v_new = _gen_decoder_step(
-            params, config, new_tok, step_pos,
-            step_pos[:, 0], self_k, self_v, cross_k, cross_v, anc_new,
+            params, config, new_tok, write_pos_bk,
+            write_pos, self_k, self_v, cross_k, cross_v, anc_new,
             fused=gen_opts.fused_attn,
         )
 
         # ---- stopping ----
+        cur_len_new = jnp.minimum(cur_len + 1, ctx)
         n_finished = jnp.sum(fin_scores > NEG_INF / 2, axis=1)
-        hit_cap = jnp.max(lens_new, axis=1) >= jnp.minimum(max_length, ctx)
+        hit_cap = cur_len_new >= jnp.minimum(max_length, ctx)
         done_new = done | (n_finished >= F) | hit_cap
 
         # frozen rows keep their previous carried state (caches and
         # ancestry need no freeze: slots are append-only and done rows'
-        # outputs are already snapshotted in the finished pools)
-        tokens_new = jnp.where(done[:, None, None], tokens, tokens_new)
-        lens_new = jnp.where(done[:, None], lens, lens_new)
+        # outputs are already snapshotted)
+        cur_len_new = jnp.where(done, cur_len, cur_len_new)
         new_cum = jnp.where(done[:, None], sum_lp, new_cum)
 
         return (
-            tokens_new, lens_new, new_cum, self_k_new, self_v_new, anc_new,
-            next_logits, fin_tokens, fin_lens, fin_scores, done_new,
+            cur_len_new, new_cum, self_k_new, self_v_new, anc_new,
+            next_logits, new_tok, penult_new, ts_new, hist_tok, hist_par,
+            fin_slot, fin_lens, fin_scores, done_new,
         )
 
     state = (
-        tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
-        fin_tokens, fin_lens, fin_scores, jnp.zeros((b,), bool),
+        cur_len, sum_lp, self_k, self_v, anc, cur_logits,
+        last_tok, penult_tok, ts_max, hist_tok, hist_par,
+        fin_slot, fin_lens, fin_scores, jnp.zeros((b,), bool),
     )
-    # NB: profiled on v5e at bench shapes: decoder step 6.7 ms, the whole
-    # selection/bookkeeping chain 0.6 ms isolated, full loop 8.5 ms.  The
-    # ~1.2 ms residual is loop-level scheduling, not any op: it survives
-    # scatter-free bookkeeping, cond chunking, and dispatching the decoder
-    # before the stopping logic (an ablation without the finished-pool
-    # block runs 6.9 ms/step).
-    (tokens, lens, sum_lp, self_k, self_v, anc, cur_logits,
-     fin_tokens, fin_lens, fin_scores, done) = jax.lax.while_loop(
+    (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
+     last_tok, penult_tok, ts_max, hist_tok, hist_par,
+     fin_slot, fin_lens, fin_scores, done) = jax.lax.while_loop(
         cond, body, state
     )
 
     # The best active beam doubles as a fallback for rows whose finished
     # pool stayed empty (no eot before the length cap); selected host-side.
-    gen_len = jnp.maximum(lens[:, 0] - prompt_len, 1).astype(jnp.float32)
+    gen_len = jnp.maximum(cur_len - prompt_len, 1).astype(jnp.float32)
     active_score = sum_lp[:, 0] / (gen_len ** lp_pow)
 
     return (
-        fin_tokens,
+        hist_tok,
+        hist_par,
+        fin_slot,
         fin_lens,
         fin_scores,
-        tokens[:, 0],
-        lens[:, 0],
+        cur_len,
         active_score,
         no_speech_prob,
         prompt_len,
@@ -578,6 +648,13 @@ def sample(
     lens = jnp.broadcast_to(prompt_len[:, None], (b, K))
     sum_lp = jnp.zeros((b, K), jnp.float32)
     finished = jnp.zeros((b, K), bool)
+    needs_history = _needs_history(proc_opts)
+    # carried rule scalars (see apply_logits_rules_logprobs_carried); the
+    # token buffer stays — it is the output and each step's write is one
+    # masked column — but the per-step rule chain no longer scans it.
+    last_tok = jnp.zeros((b, K), jnp.int32)
+    penult_tok = jnp.zeros((b, K), jnp.int32)
+    ts_max = jnp.full((b, K), -1, jnp.int32)
 
     self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
@@ -588,21 +665,34 @@ def sample(
     )
 
     def cond(state):
-        tokens, lens, sum_lp, finished, self_k, self_v, cur_logits, key = state
+        (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
+         last_tok, penult_tok, ts_max, key) = state
         return jnp.any(~finished & (lens < jnp.minimum(max_length, ctx)))
 
     def body(state):
-        tokens, lens, sum_lp, finished, self_k, self_v, cur_logits, key = state
+        (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
+         last_tok, penult_tok, ts_max, key) = state
 
-        flat_begin = jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(-1)
-        logprobs = apply_logits_rules_logprobs(
-            cur_logits.reshape(b * K, V),
-            tokens.reshape(b * K, ctx),
-            lens.reshape(b * K),
-            flat_begin,
-            meta,
-            proc_opts,
-        ).reshape(b, K, V)
+        if needs_history:
+            logprobs = apply_logits_rules_logprobs(
+                cur_logits.reshape(b * K, V),
+                tokens.reshape(b * K, ctx),
+                lens.reshape(b * K),
+                jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(-1),
+                meta,
+                proc_opts,
+            ).reshape(b, K, V)
+        else:
+            n_sampled = lens - prompt_len[:, None]  # (B, K): per-beam
+            logprobs = apply_logits_rules_logprobs_carried(
+                cur_logits.reshape(b * K, V),
+                n_sampled.reshape(b * K),
+                last_tok.reshape(b * K),
+                penult_tok.reshape(b * K),
+                ts_max.reshape(b * K),
+                meta,
+                proc_opts,
+            ).reshape(b, K, V)
 
         # Scores use the T=1 distribution (openai semantics); sampling from
         # softmax(logprobs / T) equals softmax(masked_logits / T) — the
@@ -632,8 +722,17 @@ def sample(
         tokens = jnp.where(
             hit & ~finished[:, :, None], next_tok[:, :, None], tokens
         )
-        lens = jnp.where(finished | is_eot, lens, lens + 1)
+        adv = ~finished & ~is_eot  # beams whose sampled window grows
+        lens = jnp.where(adv, lens + 1, lens)
         finished_new = finished | is_eot
+
+        penult_tok = jnp.where(adv, last_tok, penult_tok)
+        last_tok = jnp.where(adv, next_tok, last_tok)
+        ts_max = jnp.where(
+            adv & (next_tok >= meta.timestamp_begin),
+            jnp.maximum(ts_max, next_tok),
+            ts_max,
+        )
 
         # Active beams share one write position per row (they all advance
         # together); finished beams' slots receive ignored garbage at that
@@ -652,12 +751,12 @@ def sample(
             fused=gen_opts.fused_attn,
         )
 
-        return tokens, lens, sum_lp, finished_new, self_k, self_v, next_logits, key
+        return (tokens, lens, sum_lp, finished_new, self_k, self_v,
+                next_logits, last_tok, penult_tok, ts_max, key)
 
-    state = (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits, rng_key)
-    tokens, lens, sum_lp, finished, _, _, _, _ = jax.lax.while_loop(
-        cond, body, state
-    )
+    state = (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
+             last_tok, penult_tok, ts_max, rng_key)
+    tokens, lens, sum_lp, finished = jax.lax.while_loop(cond, body, state)[:4]
 
     return tokens, lens, sum_lp, finished, no_speech_prob
 
@@ -904,19 +1003,25 @@ def generate_collect(pending: PendingGeneration) -> List[WhisperGenerationResult
                 )
             )
     else:
-        (fin_tokens, fin_lens, fin_scores, act_tokens, act_lens, act_score,
-         nsp, _pl) = jax.device_get(pending.arrays)
+        (hist_tok, hist_par, fin_slot, fin_lens, fin_scores, cur_len,
+         act_score, nsp, _pl) = jax.device_get(pending.arrays)
         for i in range(b):
+            begin = int(prompt_lens[i])
             have = fin_scores[i] > -1e29
             if have.any():
                 seqs = [
-                    fin_tokens[i, j, prompt_lens[i] : fin_lens[i, j]].tolist()
-                    for j in range(fin_tokens.shape[1])
+                    _backtrack(
+                        hist_tok[i], hist_par[i],
+                        int(fin_slot[i, j]), int(fin_lens[i, j]), begin,
+                    )
+                    for j in range(fin_scores.shape[1])
                     if have[j]
                 ]
                 scores = [float(s) for s in fin_scores[i][have]]
             else:
-                seqs = [act_tokens[i, prompt_lens[i] : act_lens[i]].tolist()]
+                seqs = [
+                    _backtrack(hist_tok[i], hist_par[i], 0, int(cur_len[i]), begin)
+                ]
                 scores = [float(act_score[i])]
             results.append(
                 WhisperGenerationResult(
@@ -927,3 +1032,18 @@ def generate_collect(pending: PendingGeneration) -> List[WhisperGenerationResult
             )
 
     return results
+
+
+def _backtrack(hist_tok, hist_par, slot: int, end_len: int, begin: int):
+    """Rebuild one hypothesis from the (ctx, K) history tables: walk the
+    backpointers from (position end_len-1, beam slot) down to the prompt
+    boundary.  A few hundred numpy scalar reads per hypothesis — noise
+    next to the device fetch."""
+    seq = []
+    c = end_len - 1
+    while c >= begin:
+        seq.append(int(hist_tok[c, slot]))
+        slot = int(hist_par[c, slot])
+        c -= 1
+    seq.reverse()
+    return seq

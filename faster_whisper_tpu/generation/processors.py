@@ -108,6 +108,77 @@ def apply_logits_rules_logprobs(
     return lp
 
 
+def apply_logits_rules_logprobs_carried(
+    logits: jax.Array,  # (R, V) f32
+    n_sampled: jax.Array,  # (R,) tokens sampled so far
+    last: jax.Array,  # (R,) last sampled token (valid when n_sampled >= 1)
+    penult: jax.Array,  # (R,) second-to-last sampled (valid when n_sampled >= 2)
+    ts_max: jax.Array,  # (R,) max sampled timestamp token, -1 when none
+    meta: TokenMeta,
+    opts: ProcessorOptions,
+) -> jax.Array:
+    """``apply_logits_rules_logprobs`` from carried per-row scalars.
+
+    The timestamp rules only consume three reductions of the token
+    buffer — the last token, the one before it, and the largest sampled
+    timestamp — all of which the decode loops can carry incrementally
+    as (B, K) integers.  This variant removes every buffer-width scan
+    from the per-step rule chain; it is valid only for the policy
+    options that need no further history (the defaults): callers with a
+    repetition penalty or no-repeat-ngram reconstruct a token view and
+    use the buffer-based variant above.  Equivalence to the buffer
+    variant is pinned by tests/test_generation.py.
+    """
+    assert opts.repetition_penalty == 1.0 and opts.no_repeat_ngram_size == 0
+    r, v = logits.shape
+    vocab_ids = jnp.arange(v, dtype=jnp.int32)[None, :]
+    at_begin = (n_sampled == 0)[:, None]
+
+    if opts.suppress_tokens:
+        sup = jnp.asarray(opts.suppress_tokens, dtype=jnp.int32)
+        mask = jnp.zeros((v,), dtype=bool).at[sup].set(True)
+        logits = jnp.where(mask[None, :], NEG_INF, logits)
+
+    if opts.suppress_blank and meta.blank:
+        blank = jnp.asarray(tuple(meta.blank) + (meta.eot,), dtype=jnp.int32)
+        mask = jnp.zeros((v,), dtype=bool).at[blank].set(True)
+        logits = jnp.where(at_begin & mask[None, :], NEG_INF, logits)
+
+    if opts.with_timestamps:
+        tsb = meta.timestamp_begin
+        is_ts = vocab_ids >= tsb
+        last_was_ts = (n_sampled >= 1) & (last >= tsb)
+        penult_was_ts = (n_sampled < 2) | (penult >= tsb)
+
+        logits = jnp.where(vocab_ids == meta.no_timestamps, NEG_INF, logits)
+        ban_ts = (last_was_ts & penult_was_ts)[:, None] & is_ts
+        ban_text = (last_was_ts & ~penult_was_ts)[:, None] & (vocab_ids < meta.eot)
+        logits = jnp.where(ban_ts | ban_text, NEG_INF, logits)
+
+        have_ts = ts_max >= 0
+        floor = jnp.where(last_was_ts & ~penult_was_ts, ts_max, ts_max + 1)
+        ban_low = have_ts[:, None] & is_ts & (vocab_ids < floor[:, None])
+        logits = jnp.where(ban_low, NEG_INF, logits)
+
+        logits = jnp.where(at_begin & ~is_ts, NEG_INF, logits)
+        if opts.max_initial_timestamp_index is not None:
+            cap = tsb + opts.max_initial_timestamp_index
+            logits = jnp.where(at_begin & (vocab_ids > cap), NEG_INF, logits)
+
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    if opts.with_timestamps:
+        is_ts = jnp.arange(v, dtype=jnp.int32)[None, :] >= meta.timestamp_begin
+        ts_lse = jax.nn.logsumexp(jnp.where(is_ts, lp, NEG_INF), axis=-1)
+        max_text = jnp.max(jnp.where(is_ts, NEG_INF, lp), axis=-1)
+        force_ts = ts_lse > max_text
+        lp = jnp.where(
+            force_ts[:, None],
+            jnp.where(is_ts, lp - ts_lse[:, None], NEG_INF),
+            lp,
+        )
+    return lp
+
+
 def _apply_masks(
     logits: jax.Array,
     tokens: jax.Array,

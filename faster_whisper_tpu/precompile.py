@@ -1,0 +1,255 @@
+"""Ahead-of-time program warm-up for TPU serving.
+
+XLA compiles one program per distinct (shape-bucket, static-flag)
+combination, and on TPU a cold compile of the large-v3 decode loop takes
+minutes.  The persistent compilation cache (utils.enable_compile_cache)
+makes every compile a one-time cost *per cache*, but a fresh deployment
+still pays it at first-request time unless someone fills the cache first.
+This tool does exactly that: it builds the configured pipeline and pushes
+synthetic audio through every program the configuration can hit — mel
+frontend, VAD, encoder, prefill, the beam/sampling decode loops at their
+prompt/context buckets, language detection, and (optionally) the
+word-timestamp alignment pass — then reports what was compiled.
+
+The reference has no equivalent (CTranslate2 ships precompiled kernels);
+this is a TPU-deployment concern, the "model loading" phase a CT2 user
+never sees (reference model load: faster_whisper/transcribe.py:689-698).
+
+Usage:
+    python -m faster_whisper_tpu.precompile --model large-v3 \
+        --compute-type int8 --batch-size 8 --beam-size 5 \
+        --max-new-tokens 128 [--word-timestamps] [--sequential] \
+        [--language en] [--random-weights]
+
+With ``--random-weights`` the tool compiles against a random-initialized
+model of the same architecture (the compiled programs depend only on
+shapes/dtypes, not weight content), so a cache can be baked without
+checkpoint access — e.g. in an image build.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _count_cache_entries(cache_dir) -> int:
+    if not cache_dir or not os.path.isdir(cache_dir):
+        return 0
+    return sum(len(files) for _, _, files in os.walk(cache_dir))
+
+
+def synthetic_speech(seconds: float, sr: int = 16000, seed: int = 0):
+    """Speech-shaped audio: harmonic bursts with pauses, so the real VAD
+    produces realistic non-trivial chunking."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    out = np.zeros(n, np.float32)
+    t = 0
+    while t < n:
+        burst = int(rng.uniform(1.0, 6.0) * sr)  # 1-6 s of "speech"
+        gap = int(rng.uniform(0.3, 1.2) * sr)  # short silence
+        end = min(t + burst, n)
+        seg_t = np.arange(end - t) / sr
+        f0 = rng.uniform(90, 220)
+        sig = np.zeros(end - t, np.float32)
+        for h in (1, 2, 3):
+            sig += (0.3 / h) * np.sin(
+                2 * np.pi * f0 * h * seg_t + rng.uniform(0, 6.28)
+            ).astype(np.float32)
+        # syllable-rate amplitude modulation + noise floor
+        sig *= 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(2, 5) * seg_t).astype(
+            np.float32
+        )
+        sig += 0.02 * rng.standard_normal(end - t).astype(np.float32)
+        out[t:end] = sig
+        t = end + gap
+    return out
+
+
+def build_model(args):
+    from faster_whisper_tpu.transcribe import WhisperModel
+
+    if args.random_weights:
+        from faster_whisper_tpu.models.config import CONFIGS
+        from faster_whisper_tpu.models.load import random_params_device
+        from faster_whisper_tpu.testing import build_synthetic_tokenizer
+
+        config = CONFIGS[args.model]
+        tok = build_synthetic_tokenizer(base_vocab=config.n_vocab - 1609)
+        params = random_params_device(config, seed=0, dtype="bfloat16")
+        return WhisperModel.from_parts(
+            params, config, tok, {"feature_size": config.n_mels},
+            compute_type=args.compute_type,
+        )
+    return WhisperModel(
+        args.model, device="auto", compute_type=args.compute_type
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="faster_whisper_tpu.precompile", description=__doc__.split("\n")[0]
+    )
+    p.add_argument("--model", default="large-v3")
+    p.add_argument("--compute-type", default="int8")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--best-of", type=int, default=5)
+    p.add_argument(
+        "--max-new-tokens", type=int, default=None,
+        help="decode-budget bucket to compile (None = the model's full "
+        "448 context)",
+    )
+    p.add_argument(
+        "--language", default=None,
+        help="pin the language (skips compiling language detection)",
+    )
+    p.add_argument(
+        "--word-timestamps", action="store_true",
+        help="also compile the alignment (DTW) forward pass",
+    )
+    p.add_argument(
+        "--sequential", action="store_true",
+        help="also compile the sequential seek-loop path: the long-prompt "
+        "(conditioned) prefill bucket and the temperature-fallback "
+        "sampling rungs",
+    )
+    p.add_argument(
+        "--temperatures", default="0.0,0.2,0.4,0.6,0.8,1.0",
+        help="fallback ladder to compile for --sequential",
+    )
+    p.add_argument("--random-weights", action="store_true")
+    args = p.parse_args(argv)
+
+    from faster_whisper_tpu.utils import ensure_tpu_accelerator_type
+
+    ensure_tpu_accelerator_type()
+
+    import jax
+
+    from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    n0 = _count_cache_entries(cache_dir)
+    phases = []
+
+    def phase(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        phases.append((name, dt))
+        print(f"# {name}: {dt:.1f}s", file=sys.stderr)
+
+    t_start = time.perf_counter()
+    model = build_model(args)
+    phases.append(("load", time.perf_counter() - t_start))
+
+    # Enough audio for two full batches plus a trailing partial batch so
+    # the padded-trailing-batch program compiles too.
+    audio = synthetic_speech((2 * args.batch_size + 3) * 18.0)
+    pipeline = BatchedInferencePipeline(model)
+
+    def run_batched(word_ts=False):
+        segments, _ = pipeline.transcribe(
+            audio,
+            language=args.language,
+            beam_size=args.beam_size,
+            batch_size=args.batch_size,
+            max_new_tokens=args.max_new_tokens,
+            temperature=[0.0],
+            word_timestamps=word_ts,
+        )
+        for _ in segments:
+            pass
+
+    phase("batched pipeline (beam)", run_batched)
+    if args.word_timestamps:
+        phase("alignment pass", lambda: run_batched(word_ts=True))
+
+    if args.sequential:
+        temps = [float(t) for t in args.temperatures.split(",") if t]
+
+        def run_sequential():
+            segments, _ = model.transcribe(
+                audio[: 16000 * 95],
+                language=args.language,
+                beam_size=args.beam_size,
+                best_of=args.best_of,
+                max_new_tokens=args.max_new_tokens,
+                temperature=temps,
+                condition_on_previous_text=True,
+            )
+            for _ in segments:
+                pass
+
+        phase("sequential path (beam + conditioned prompts)", run_sequential)
+
+        # The fallback sampling rungs compile lazily in production (only
+        # when a rung actually fires); compile them eagerly here.  Each
+        # distinct temperature is a static argument, i.e. its own program.
+        def run_rungs():
+            import numpy as np
+
+            eng = model.model
+            feat = np.asarray(model.feature_extractor(audio[: 16000 * 30]))
+            xa = eng.encode(np.ascontiguousarray(feat[:, :3000]))
+            prompt = _default_prompt(model)
+            max_len = (
+                len(prompt) + args.max_new_tokens
+                if args.max_new_tokens
+                else model.max_length
+            )
+            for t in temps:
+                if t <= 0:
+                    continue
+                eng.generate(
+                    xa,
+                    [prompt],
+                    beam_size=1,
+                    num_hypotheses=args.best_of,
+                    sampling_temperature=t,
+                    sampling_topk=0,
+                    max_length=max_len,
+                    return_scores=True,
+                    return_no_speech_prob=True,
+                    suppress_blank=True,
+                    suppress_tokens=(),
+                )
+
+        phase("fallback sampling rungs", run_rungs)
+
+    n1 = _count_cache_entries(cache_dir)
+    total = time.perf_counter() - t_start
+    report = {
+        "model": args.model,
+        "compute_type": args.compute_type,
+        "batch_size": args.batch_size,
+        "beam_size": args.beam_size,
+        "max_new_tokens": args.max_new_tokens,
+        "persistent_cache_dir": cache_dir,
+        "cache_entries_before": n0,
+        "cache_entries_after": n1,
+        "new_programs_cached": n1 - n0,
+        "phases": {name: round(dt, 1) for name, dt in phases},
+        "total_seconds": round(total, 1),
+    }
+    print(json.dumps(report))
+    return 0
+
+
+def _default_prompt(model):
+    tok = model.hf_tokenizer
+    ids = []
+    for name in ("<|startoftranscript|>", "<|en|>", "<|transcribe|>"):
+        t = tok.token_to_id(name)
+        if t is not None:
+            ids.append(t)
+    return ids
+
+
+if __name__ == "__main__":
+    sys.exit(main())

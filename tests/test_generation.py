@@ -153,6 +153,55 @@ def test_repetition_penalty():
     assert out[5] == pytest.approx(0.0)  # unseen untouched
 
 
+def test_carried_rules_match_buffer_rules():
+    """The carried-scalar rule chain (what the decode loops run) must be
+    bit-identical to the buffer-scanning reference on random states."""
+    from faster_whisper_tpu.generation.processors import (
+        apply_logits_rules_logprobs,
+        apply_logits_rules_logprobs_carried,
+    )
+
+    rng = np.random.default_rng(1)
+    ctx, R, begin_len = 64, 24, 2
+    for opts in [
+        ProcessorOptions(
+            suppress_blank=True, suppress_tokens=(1, 5),
+            with_timestamps=True, max_initial_timestamp_index=6,
+        ),
+        ProcessorOptions(suppress_blank=False, with_timestamps=True),
+        ProcessorOptions(suppress_blank=True, with_timestamps=False),
+    ]:
+        logits = rng.standard_normal((R, META.vocab_size)).astype(np.float32)
+        tokens = np.zeros((R, ctx), np.int32)
+        cur = np.zeros((R,), np.int32)
+        last = np.zeros((R,), np.int32)
+        penult = np.zeros((R,), np.int32)
+        tsm = np.full((R,), -1, np.int32)
+        for r in range(R):
+            n = int(rng.integers(0, 10))
+            seq = rng.integers(0, META.vocab_size, size=n).tolist()
+            tokens[r, :begin_len] = [0, 1]
+            tokens[r, begin_len : begin_len + n] = seq
+            cur[r] = begin_len + n
+            if n >= 1:
+                last[r] = seq[-1]
+            if n >= 2:
+                penult[r] = seq[-2]
+            ts = [t for t in seq if t >= META.timestamp_begin]
+            tsm[r] = max(ts) if ts else -1
+        begin = np.full((R,), begin_len, np.int32)
+        ref = apply_logits_rules_logprobs(
+            jnp.asarray(logits), jnp.asarray(tokens), jnp.asarray(cur),
+            jnp.asarray(begin), META, opts,
+        )
+        got = apply_logits_rules_logprobs_carried(
+            jnp.asarray(logits), jnp.asarray(cur - begin),
+            jnp.asarray(last), jnp.asarray(penult), jnp.asarray(tsm),
+            META, opts,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 # ---------------------------------------------------------------------------
 # Integration: full generation on a tiny random model
 # ---------------------------------------------------------------------------
