@@ -1,7 +1,9 @@
 import hashlib
 import io
+import os
 
 import numpy as np
+import pytest
 
 from faster_whisper_tpu.audio import decode_audio, pad_or_trim
 
@@ -233,3 +235,69 @@ def test_mp3_native_decode_matches_mpg123(hotwords_mp3_path):
         if c > best:
             best, best_lag = c, lag
     assert best > 0.99, (best, best_lag)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-container matrix: AAC/M4A, OGG/Vorbis, Opus
+# ---------------------------------------------------------------------------
+
+
+def _best_alignment_corr(a, b, max_lag):
+    """Max normalized correlation over integer lags in [-max_lag, max_lag]."""
+    n = min(len(a), len(b))
+    a, b = a[:n].astype(np.float64), b[:n].astype(np.float64)
+    best = -1.0
+    for lag in range(-max_lag, max_lag + 1):
+        if lag >= 0:
+            x, y = a[lag:], b[: n - lag]
+        else:
+            x, y = a[: n + lag], b[-lag:]
+        denom = np.linalg.norm(x) * np.linalg.norm(y)
+        if denom == 0:
+            continue
+        best = max(best, float(np.dot(x, y) / denom))
+    return best
+
+
+@pytest.mark.parametrize("ext", ["m4a", "ogg", "opus"])
+def test_decode_compressed_containers_match_flac(ext, jfk_path, local_data_dir):
+    """M4A/AAC, OGG/Vorbis and Opus must decode end-to-end and match the
+    lossless original (the reference's own benchmark file is an .m4a —
+    reference: benchmark/utils.py:12-15).  Fixtures are jfk.flac's first
+    6 s re-encoded at 64 kbps by tests/tools/media_encode.cpp."""
+    from faster_whisper_tpu.media_native import media_native_available
+
+    path = os.path.join(local_data_dir, f"jfk.{ext}")
+    assert os.path.exists(path), "fixture missing — run tests/tools/media_encode"
+    if not media_native_available():
+        try:
+            import av  # noqa: F401
+        except ImportError:
+            pytest.skip("no libav shim and no PyAV")
+
+    got = decode_audio(path, sampling_rate=16000)
+    ref = decode_audio(jfk_path, sampling_rate=16000)[: 16000 * 6]
+
+    # 6 s at 16 kHz, allowing codec/resampler edge trims
+    assert abs(len(got) - len(ref)) < 16000 // 2, (len(got), len(ref))
+    assert got.dtype == np.float32
+    assert float(np.abs(got).max()) <= 1.0
+
+    # lossy codecs shift by their codec delay: align by scanning lags,
+    # then require strong correlation with the lossless original
+    corr = _best_alignment_corr(got[: 16000 * 3], ref[: 16000 * 3], 2000)
+    assert corr > 0.85, (ext, corr)
+
+
+def test_decode_m4a_filelike(local_data_dir):
+    """File-like M4A input must match path input (MP4 demuxing needs
+    working seek callbacks, unlike the streamable formats)."""
+    from faster_whisper_tpu.media_native import media_native_available
+
+    path = os.path.join(local_data_dir, "jfk.m4a")
+    if not media_native_available():
+        pytest.skip("no libav shim")
+    ref = decode_audio(path, sampling_rate=16000)
+    with open(path, "rb") as f:
+        got = decode_audio(f, sampling_rate=16000)
+    np.testing.assert_array_equal(got, ref)
