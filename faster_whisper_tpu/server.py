@@ -97,28 +97,50 @@ def _segment_dict(seg, verbose):
 
 
 class TranscriptionService:
-    """Owns the model + pipeline and serializes inference requests.
+    """Owns the model and a process-wide chunk batcher.
 
-    One TPU stream: concurrent HTTP handlers queue on ``_lock`` while the
-    pipeline batches within each request.  Sequential (non-batched) mode
-    is selected per-request with batch_size=0.
+    Batched requests run CONCURRENTLY: each handler thread does its own
+    host phases (audio decode, VAD hysteresis, tokenization) and submits
+    its VAD chunks to one shared ContinuousBatcher, which merges chunks
+    from all in-flight requests into shared device batches (see
+    faster_whisper_tpu/scheduler.py).  Only the request shapes the
+    batcher cannot merge — sequential mode (batch_size=0) and
+    multilingual — serialize on ``_lock``.
     """
 
-    def __init__(self, model, batched=True):
-        from faster_whisper_tpu.transcribe import BatchedInferencePipeline
-
+    def __init__(self, model, batched=True, max_batch=8):
         self.model = model
-        self.pipeline = BatchedInferencePipeline(model) if batched else None
+        self.batched = batched
+        self.batcher = None
+        if batched:
+            from faster_whisper_tpu.scheduler import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(model, max_batch=max_batch)
         self._lock = threading.Lock()
+
+    def close(self):
+        if self.batcher is not None:
+            self.batcher.close()
 
     def transcribe_bytes(self, payload: bytes, options: dict):
         from faster_whisper_tpu.audio import decode_audio
+        from faster_whisper_tpu.transcribe import BatchedInferencePipeline
 
         audio = decode_audio(io.BytesIO(payload))
         batch_size = options.pop("batch_size", 8)
+        if self.batched and batch_size and not options.get("multilingual"):
+            # off-lock: the shared batcher serializes only device batches
+            pipeline = BatchedInferencePipeline(
+                self.model, scheduler=self.batcher
+            )
+            segments, info = pipeline.transcribe(
+                audio, batch_size=batch_size, **options
+            )
+            return list(segments), info
         with self._lock:
-            if self.pipeline is not None and batch_size:
-                segments, info = self.pipeline.transcribe(
+            if self.batched and batch_size:
+                pipeline = BatchedInferencePipeline(self.model)
+                segments, info = pipeline.transcribe(
                     audio, batch_size=batch_size, **options
                 )
             else:
@@ -260,15 +282,15 @@ def serve(model, host="0.0.0.0", port=8000, model_name="?", batched=True):
 
 
 def make_server(model, host="127.0.0.1", port=0, model_name="?", batched=True):
+    service = TranscriptionService(model, batched=batched)
     handler = type(
         "BoundHandler",
         (_Handler,),
-        {
-            "service": TranscriptionService(model, batched=batched),
-            "model_name": model_name,
-        },
+        {"service": service, "model_name": model_name},
     )
-    return ThreadingHTTPServer((host, port), handler)
+    server = ThreadingHTTPServer((host, port), handler)
+    server.service = service  # reachable for shutdown/metrics
+    return server
 
 
 def main(argv=None):

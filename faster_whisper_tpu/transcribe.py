@@ -1381,8 +1381,13 @@ class WhisperModel:
 
 
 class BatchedInferencePipeline:
-    def __init__(self, model):
+    def __init__(self, model, scheduler=None):
+        """``scheduler`` (a faster_whisper_tpu.scheduler.ContinuousBatcher)
+        routes this pipeline's chunks through a process-wide batcher so
+        CONCURRENT requests share device batches; None (default, and the
+        reference-parity surface) keeps the in-request batching path."""
         self.model: WhisperModel = model
+        self.scheduler = scheduler
         self.last_speech_timestamp = 0.0
         self._batch_bucket = None
 
@@ -1841,14 +1846,22 @@ class BatchedInferencePipeline:
             all_language_probs=all_language_probs,
         )
 
-        segments = self._batched_segments_generator(
-            features,
-            tokenizer,
-            chunks_metadata,
-            batch_size,
-            options,
-            log_progress,
-        )
+        if self.scheduler is not None and not multilingual:
+            # cross-request continuous batching (multilingual stays on the
+            # in-request path: its prompts are patched from this batch's
+            # own encoder output)
+            segments = self._scheduled_segments_generator(
+                features, tokenizer, chunks_metadata, options, log_progress
+            )
+        else:
+            segments = self._batched_segments_generator(
+                features,
+                tokenizer,
+                chunks_metadata,
+                batch_size,
+                options,
+                log_progress,
+            )
         if not clip_timestamps_provided:
             segments = restore_speech_timestamps(
                 segments, clip_timestamps, sampling_rate
@@ -1929,6 +1942,141 @@ class BatchedInferencePipeline:
                         temperature=options.temperatures[0],
                     )
                 pbar.update(1)
+
+        pbar.close()
+        self.last_speech_timestamp = 0.0
+
+    def _scheduled_segments_generator(
+        self, features, tokenizer, chunks_metadata, options, log_progress
+    ):
+        """Chunk generator over the process-wide ContinuousBatcher: this
+        request's chunks are submitted once and may run in device batches
+        SHARED with other concurrent requests; results are consumed in
+        chunk order so generator/timestamp semantics are unchanged.  The
+        word-timestamp align pass runs per chunk on this request's thread
+        (device dispatch is thread-safe; it rides between the batcher's
+        batches)."""
+        from tqdm import tqdm
+
+        from faster_whisper_tpu.scheduler import GenKey
+
+        n_chunks = len(chunks_metadata)
+        prompt = self.model.get_prompt(
+            tokenizer,
+            previous_tokens=(
+                tokenizer.encode(options.initial_prompt)
+                if options.initial_prompt is not None
+                else []
+            ),
+            without_timestamps=options.without_timestamps,
+            hotwords=options.hotwords,
+        )
+        if options.max_new_tokens is not None:
+            max_length = len(prompt) + options.max_new_tokens
+        else:
+            max_length = self.model.max_length
+        if max_length > self.model.max_length:
+            raise ValueError(
+                f"The combined length of the prompt ({len(prompt)}) and "
+                f"`max_new_tokens` exceeds the model's `max_length` "
+                f"({self.model.max_length})."
+            )
+
+        key = GenKey(
+            beam_size=options.beam_size,
+            patience=options.patience,
+            length_penalty=options.length_penalty,
+            repetition_penalty=options.repetition_penalty,
+            no_repeat_ngram_size=options.no_repeat_ngram_size,
+            max_length=max_length,
+            suppress_blank=options.suppress_blank,
+            suppress_tokens=tuple(options.suppress_tokens or ()),
+            sampling_temperature=options.temperatures[0],
+            with_timestamps=self.model.model.meta.no_timestamps not in prompt,
+        )
+        entries = (
+            self.scheduler.submit(features, [prompt] * n_chunks, key)
+            if n_chunks
+            else []
+        )
+
+        pbar = tqdm(total=n_chunks, disable=not log_progress, position=0)
+        seg_idx = 0
+        for entry, chunk_metadata in zip(entries, chunks_metadata):
+            entry.event.wait()
+            if entry.error is not None:
+                raise entry.error
+            result = entry.result
+            seq_len = len(result.sequences_ids[0])
+            cum_logprob = result.scores[0] * (seq_len ** options.length_penalty)
+            output = dict(
+                avg_logprob=cum_logprob / (seq_len + 1),
+                no_speech_prob=result.no_speech_prob,
+                tokens=result.sequences_ids[0],
+            )
+
+            duration = chunk_metadata["duration"]
+            segment_size = int(ceil(duration) * self.model.frames_per_second)
+            (
+                subsegments,
+                _seek,
+                _single_timestamp_ending,
+            ) = self.model._split_segments_by_timestamps(
+                tokenizer=tokenizer,
+                tokens=output["tokens"],
+                time_offset=chunk_metadata["offset"],
+                segment_size=segment_size,
+                segment_duration=duration,
+                seek=0,
+            )
+            segmented = [
+                dict(
+                    text=tokenizer.decode(subsegment["tokens"]),
+                    avg_logprob=output["avg_logprob"],
+                    no_speech_prob=output["no_speech_prob"],
+                    tokens=subsegment["tokens"],
+                    start=subsegment["start"],
+                    end=subsegment["end"],
+                    compression_ratio=get_compression_ratio(
+                        tokenizer.decode(subsegment["tokens"])
+                    ),
+                    seek=int(
+                        chunk_metadata["offset"] * self.model.frames_per_second
+                    ),
+                )
+                for subsegment in subsegments
+            ]
+            if options.word_timestamps:
+                self.last_speech_timestamp = self.model.add_word_timestamps(
+                    [segmented],
+                    tokenizer,
+                    entry.enc[entry.enc_row : entry.enc_row + 1],
+                    [segment_size],
+                    options.prepend_punctuations,
+                    options.append_punctuations,
+                    self.last_speech_timestamp,
+                )
+
+            for segment in segmented:
+                seg_idx += 1
+                yield Segment(
+                    seek=segment["seek"],
+                    id=seg_idx,
+                    text=segment["text"],
+                    start=round(segment["start"], 3),
+                    end=round(segment["end"], 3),
+                    words=(
+                        None
+                        if not options.word_timestamps
+                        else [Word(**word) for word in segment["words"]]
+                    ),
+                    tokens=segment["tokens"],
+                    avg_logprob=segment["avg_logprob"],
+                    no_speech_prob=segment["no_speech_prob"],
+                    compression_ratio=segment["compression_ratio"],
+                    temperature=options.temperatures[0],
+                )
+            pbar.update(1)
 
         pbar.close()
         self.last_speech_timestamp = 0.0

@@ -108,7 +108,19 @@ def ensure_tpu_accelerator_type(argv=None):
         return
     os.environ["TPU_ACCELERATOR_TYPE"] = _TPU_GEN_TYPES.get(gen, gen)
     os.environ["_FWT_REEXEC"] = "1"
-    os.execv(sys.executable, [sys.executable] + list(argv or sys.argv))
+    if argv is None:
+        # ``python -m pkg.mod`` rewrites sys.argv[0] to the module's file
+        # path; re-exec'ing that path directly would put the package dir
+        # (not the cwd) at sys.path[0] and break package imports — keep
+        # the -m form instead.
+        import __main__
+
+        spec = getattr(__main__, "__spec__", None)
+        if spec is not None and spec.name:
+            argv = ["-m", spec.name] + sys.argv[1:]
+        else:
+            argv = sys.argv
+    os.execv(sys.executable, [sys.executable] + list(argv))
 
 
 def enable_compilation_cache(path: Optional[str] = None):

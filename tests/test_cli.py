@@ -102,3 +102,50 @@ def test_cli_output_dir(monkeypatch, wav_file, tmp_path):
               "--output-format", "srt", "--output-dir", str(out_dir)])
     files = list(out_dir.glob("*.srt"))
     assert len(files) == 1 and "-->" in files[0].read_text()
+
+
+def test_validate_gate_mock_mode(capsys):
+    """The real-weights acceptance gate command must run end-to-end in
+    --mock mode: every golden check executes its path over a random-weight
+    model (structural invariants), WER skips without a dataset, and the
+    summary JSON reports zero failures."""
+    from faster_whisper_tpu import validate
+
+    # A cheap subset keeps the suite fast (the full mock gate compiles
+    # every pipeline variant, ~7 min on the CPU mesh); the command itself
+    # defaults to all checks.
+    rc = validate.main(
+        ["--mock", "--checks", "jfk batched,hotwords,librispeech wer"]
+    )
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert rc == 0, summary
+    assert summary["fail"] == 0
+    assert summary["pass"] == 2
+    assert summary["skip"] == 1  # WER skips without a dataset
+    assert summary["mode"] == "mock"
+
+
+def test_precompile_smoke_mock(capsys):
+    """precompile must run its batched warm-up end-to-end on a random
+    tiny-test model and report the phase timings."""
+    from faster_whisper_tpu import precompile
+    from faster_whisper_tpu.testing import build_test_model
+
+    import faster_whisper_tpu.precompile as pc
+
+    orig = pc.build_model
+    pc.build_model = lambda args: build_test_model()
+    try:
+        rc = precompile.main(
+            ["--model", "tiny-test", "--random-weights",
+             "--compute-type", "default", "--batch-size", "2",
+             "--beam-size", "1", "--max-new-tokens", "8",
+             "--language", "en"]
+        )
+    finally:
+        pc.build_model = orig
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    report = json.loads(out)
+    assert rc == 0
+    assert "batched pipeline (beam)" in report["phases"]

@@ -12,13 +12,19 @@ from faster_whisper_tpu.testing import build_test_model
 
 
 @pytest.fixture(scope="module")
-def server_url():
+def server_obj():
     model = build_test_model()
     server = make_server(model, model_name="test-tiny")
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{server.server_port}"
+    yield server
     server.shutdown()
+    server.service.close()
+
+
+@pytest.fixture(scope="module")
+def server_url(server_obj):
+    return f"http://127.0.0.1:{server_obj.server_port}"
 
 
 def test_healthz(server_url):
@@ -157,3 +163,83 @@ def test_concurrent_requests_serialize(server_url):
         ]
         outs = [f.result(timeout=300) for f in futs]
     assert all("segments" in o for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-request continuous batching (faster_whisper_tpu/scheduler.py)
+# ---------------------------------------------------------------------------
+
+
+def test_continuous_batcher_coalesces_and_matches_unscheduled():
+    """Four concurrent requests' chunks must merge into shared device
+    batches (fewer batches than chunks) and produce segments identical to
+    the unscheduled in-request path."""
+    import concurrent.futures
+    import io
+
+    from faster_whisper_tpu.audio import decode_audio
+    from faster_whisper_tpu.scheduler import ContinuousBatcher
+    from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+    model = build_test_model()
+    audio = decode_audio(io.BytesIO(_wav_bytes(seconds=3.0, seed=5)))
+
+    kwargs = dict(language="en", beam_size=2, vad_filter=False,
+                  max_new_tokens=16, temperature=[0.0])
+
+    # baseline: plain in-request path
+    ref_segments, _ = BatchedInferencePipeline(model).transcribe(
+        audio, batch_size=2, **kwargs
+    )
+    ref = [(s.text, s.start, s.end) for s in ref_segments]
+
+    batcher = ContinuousBatcher(model, max_batch=4, max_wait_ms=300)
+    try:
+        barrier = threading.Barrier(4)
+
+        def one_request(_):
+            barrier.wait()  # maximize overlap
+            pipeline = BatchedInferencePipeline(model, scheduler=batcher)
+            segments, _ = pipeline.transcribe(audio, batch_size=4, **kwargs)
+            return [(s.text, s.start, s.end) for s in segments]
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(one_request, range(4)))
+
+        assert batcher.chunks_processed == 4
+        # coalescing is the point: 4 concurrent single-chunk requests must
+        # share batches instead of running one device batch each
+        assert batcher.batches_dispatched <= 2, batcher.batches_dispatched
+        for out in outs:
+            assert out == ref
+    finally:
+        batcher.close()
+
+
+def test_server_concurrent_requests_share_batches(server_obj, server_url):
+    """End-to-end over HTTP: concurrent uploads ride the shared batcher."""
+    import concurrent.futures
+
+    fields = {"language": "en", "beam_size": "1", "vad_filter": "false",
+              "batch_size": "4", "max_new_tokens": "16", "temperature": "0"}
+
+    service = server_obj.service  # exposed by make_server
+    assert service.batcher is not None
+    b0 = service.batcher.batches_dispatched
+    c0 = service.batcher.chunks_processed
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        futs = [
+            ex.submit(
+                lambda seed: json.load(
+                    _post_multipart(server_url, _wav_bytes(seed=seed), fields)
+                ),
+                s,
+            )
+            for s in (20, 21, 22, 23)
+        ]
+        outs = [f.result(timeout=600) for f in futs]
+    assert all("text" in o for o in outs)
+    chunks = service.batcher.chunks_processed - c0
+    batches = service.batcher.batches_dispatched - b0
+    assert chunks == 4
+    assert batches < chunks, (batches, chunks)  # overlap happened
