@@ -452,13 +452,22 @@ def beam_search(
     fin_lens = jnp.zeros((b, F), jnp.int32)
     fin_scores = jnp.full((b, F), NEG_INF, jnp.float32)
 
+    # The loop cond reads a ONE-ITERATION-LAGGED done: the stopping vector
+    # computed by iteration i sits at the end of that iteration's longest
+    # dependency chain (decoder -> rules -> top-k -> pool), so a cond on it
+    # stalls the loop branch until the whole chain drains (~1.1 ms/step
+    # measured on v5e — benchmarks/profile_loop2.py).  Reading the
+    # previous iteration's done instead resolves the branch at iteration
+    # START; the loop runs exactly one extra all-frozen iteration, which
+    # is output-neutral (every carried output is gated by the CURRENT
+    # done inside the body).
     def cond(state):
-        return jnp.any(~state[-1])
+        return jnp.any(~state[-1])  # state[-1] = lagged done
 
     def body(state):
         (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
          last_tok, penult_tok, ts_max, hist_tok, hist_par,
-         fin_slot, fin_lens, fin_scores, done) = state
+         fin_slot, fin_lens, fin_scores, done, _done_lag) = state
 
         n_sampled = cur_len - prompt_len  # (B,)
         if needs_history:
@@ -573,17 +582,18 @@ def beam_search(
         return (
             cur_len_new, new_cum, self_k_new, self_v_new, anc_new,
             next_logits, new_tok, penult_new, ts_new, hist_tok, hist_par,
-            fin_slot, fin_lens, fin_scores, done_new,
+            fin_slot, fin_lens, fin_scores, done_new, done,
         )
 
     state = (
         cur_len, sum_lp, self_k, self_v, anc, cur_logits,
         last_tok, penult_tok, ts_max, hist_tok, hist_par,
-        fin_slot, fin_lens, fin_scores, jnp.zeros((b,), bool),
+        fin_slot, fin_lens, fin_scores,
+        jnp.zeros((b,), bool), jnp.zeros((b,), bool),
     )
     (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
      last_tok, penult_tok, ts_max, hist_tok, hist_par,
-     fin_slot, fin_lens, fin_scores, done) = jax.lax.while_loop(
+     fin_slot, fin_lens, fin_scores, done, _done_lag) = jax.lax.while_loop(
         cond, body, state
     )
 
@@ -664,14 +674,18 @@ def sample(
         jnp.arange(K, dtype=jnp.int32)[None, :, None], (b, K, ctx)
     )
 
+    # Lagged loop cond (see beam_search): the active-beams predicate is
+    # computed from each iteration's INPUT state and read by cond one
+    # iteration later, so the loop branch never waits on the sampling
+    # chain; the extra final iteration is write-masked below.
     def cond(state):
-        (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
-         last_tok, penult_tok, ts_max, key) = state
-        return jnp.any(~finished & (lens < jnp.minimum(max_length, ctx)))
+        return jnp.any(state[-1])
 
     def body(state):
         (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
-         last_tok, penult_tok, ts_max, key) = state
+         last_tok, penult_tok, ts_max, key, _active_lag) = state
+        cap = jnp.minimum(max_length, ctx)
+        active_in = ~finished & (lens < cap)  # from inputs: ready at start
 
         if needs_history:
             logprobs = apply_logits_rules_logprobs(
@@ -708,7 +722,7 @@ def sample(
         next_tok = jnp.where(finished, meta.eot, next_tok)
 
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, :, None], axis=2)[:, :, 0]
-        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+        sum_lp = sum_lp + jnp.where(active_in, tok_lp, 0.0)
 
         write_pos = jnp.clip(lens, 0, ctx - 1)  # position of the new token
         is_eot = next_tok == meta.eot
@@ -720,9 +734,12 @@ def sample(
             == write_pos[:, :, None]
         )
         tokens = jnp.where(
-            hit & ~finished[:, :, None], next_tok[:, :, None], tokens
+            hit & active_in[:, :, None], next_tok[:, :, None], tokens
         )
-        adv = ~finished & ~is_eot  # beams whose sampled window grows
+        # beams whose sampled window grows: not finished, not emitting eot,
+        # and still under the length cap (capped rows stop writing/growing
+        # even while sibling beams keep the loop alive)
+        adv = active_in & ~is_eot
         lens = jnp.where(adv, lens + 1, lens)
         finished_new = finished | is_eot
 
@@ -752,10 +769,11 @@ def sample(
         )
 
         return (tokens, lens, sum_lp, finished_new, self_k, self_v,
-                next_logits, last_tok, penult_tok, ts_max, key)
+                next_logits, last_tok, penult_tok, ts_max, key, active_in)
 
     state = (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
-             last_tok, penult_tok, ts_max, rng_key)
+             last_tok, penult_tok, ts_max, rng_key,
+             jnp.ones((b, K), bool))
     tokens, lens, sum_lp, finished = jax.lax.while_loop(cond, body, state)[:4]
 
     return tokens, lens, sum_lp, finished, no_speech_prob
