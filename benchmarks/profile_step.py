@@ -77,6 +77,7 @@ def main():
     gen_opts = GenOptions(
         beam_size=K, num_finished=K, length_penalty=1.0, ctx_cap=CTX,
         kv_int8=True, fused_attn=True,  # the production TPU configuration
+        cond_chunk=max(1, int(os.environ.get("FWT_COND_CHUNK", "1"))),
     )
     proc_opts = ProcessorOptions(
         suppress_blank=True, suppress_tokens=tuple(range(1, 40)),

@@ -88,6 +88,14 @@ class GenOptions:
     # (ops/beam_attention.py).  On by default on a single TPU chip; the
     # pure-XLA reference runs on CPU and under multi-device meshes.
     fused_attn: bool = False
+    # Steps per early-exit check.  The data-dependent ``any(~done)``
+    # cond costs ~1.7 ms/step in scheduling around the loop body (the
+    # SAME body runs 6.88 vs 8.59 ms/step under a counter cond —
+    # benchmarks/profile_loop2.py); an inner fori_loop of ``cond_chunk``
+    # steps amortizes that cost chunk-fold.  Output-neutral: the body is
+    # ``done``-gated, so the ≤chunk-1 frozen steps after convergence
+    # change nothing — they only cost wall-clock on early-exiting rows.
+    cond_chunk: int = 1
 
 
 class WhisperGenerationResult:
@@ -192,10 +200,11 @@ def _gen_decoder_step(
         x = x + _dense(attn, sa["wo"], sa["bo"])
 
         # cross attention: beams are independent queries over shared K/V
-        # (head-major (L, B, H, T, D) cache).  The Pallas cross kernel is
-        # opt-in (FWT_FUSED_CROSS=1): measured on v5e it is int8->bf16
-        # conversion-bound at 4.7 ms/32-layer-step vs XLA's 3.1 ms — XLA
-        # overlaps the upcasts with the layer-slice streaming better.
+        # (head-major (L, B, H, T, D) cache).  The Pallas cross kernel
+        # (incl. its T-blocked flash variant, FWT_CROSS_TB) is opt-in via
+        # FWT_FUSED_CROSS=1: XLA wins on v5e — per-layer pallas_call
+        # boundaries lose the cross-layer pipelining XLA gets (measured
+        # rows in benchmarks/README.md, profile_cross.py).
         h = layer_norm(x, p["ln2_g"], p["ln2_b"])
         cp = p["cross_attn"]
         qx = _dense(h, cp["wq"], cp["bq"]).reshape(b, k, n_head, dh)
@@ -461,8 +470,16 @@ def beam_search(
     # START; the loop runs exactly one extra all-frozen iteration, which
     # is output-neutral (every carried output is gated by the CURRENT
     # done inside the body).
-    def cond(state):
-        return jnp.any(~state[-1])  # state[-1] = lagged done
+    if gen_opts.cond_chunk > 1:
+        # Chunked: the cond runs once per chunk, so its stall is already
+        # amortized — read the TRUE done and exit exactly at the chunk
+        # containing convergence (the lagged read would always run one
+        # full extra chunk).
+        def cond(state):
+            return jnp.any(~state[-2])  # state[-2] = current done
+    else:
+        def cond(state):
+            return jnp.any(~state[-1])  # state[-1] = lagged done
 
     def body(state):
         (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
@@ -585,16 +602,30 @@ def beam_search(
             fin_slot, fin_lens, fin_scores, done_new, done,
         )
 
+    # NB round-3 measured dead ends for the ~1.3-1.7 ms/step full-loop
+    # residual (benchmarks/profile_step.py): body unrolling (2x/4x per
+    # while iteration) made it WORSE (8.59 -> 8.73/8.84 ms/step), and
+    # replacing the finished-pool lax.top_k with an iterative argmax
+    # merge was neutral.  What worked is cond chunking (see
+    # GenOptions.cond_chunk): the residual tracks the data-dependent
+    # cond, not the body.
     state = (
         cur_len, sum_lp, self_k, self_v, anc, cur_logits,
         last_tok, penult_tok, ts_max, hist_tok, hist_par,
         fin_slot, fin_lens, fin_scores,
         jnp.zeros((b,), bool), jnp.zeros((b,), bool),
     )
+    loop_body = body
+    if gen_opts.cond_chunk > 1:
+        def loop_body(state):
+            return jax.lax.fori_loop(
+                0, gen_opts.cond_chunk, lambda _, s: body(s), state
+            )
+
     (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
      last_tok, penult_tok, ts_max, hist_tok, hist_par,
      fin_slot, fin_lens, fin_scores, done, _done_lag) = jax.lax.while_loop(
-        cond, body, state
+        cond, loop_body, state
     )
 
     # The best active beam doubles as a fallback for rows whose finished
@@ -678,8 +709,15 @@ def sample(
     # computed from each iteration's INPUT state and read by cond one
     # iteration later, so the loop branch never waits on the sampling
     # chain; the extra final iteration is write-masked below.
-    def cond(state):
-        return jnp.any(state[-1])
+    if gen_opts.cond_chunk > 1:
+        # chunked: per-chunk cond stall is amortized; read true activity
+        def cond(state):
+            return jnp.any(
+                ~state[3] & (state[1] < jnp.minimum(max_length, ctx))
+            )
+    else:
+        def cond(state):
+            return jnp.any(state[-1])
 
     def body(state):
         (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
@@ -774,7 +812,15 @@ def sample(
     state = (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
              last_tok, penult_tok, ts_max, rng_key,
              jnp.ones((b, K), bool))
-    tokens, lens, sum_lp, finished = jax.lax.while_loop(cond, body, state)[:4]
+    loop_body = body
+    if gen_opts.cond_chunk > 1:  # see GenOptions.cond_chunk
+        def loop_body(state):
+            return jax.lax.fori_loop(
+                0, gen_opts.cond_chunk, lambda _, s: body(s), state
+            )
+    tokens, lens, sum_lp, finished = jax.lax.while_loop(
+        cond, loop_body, state
+    )[:4]
 
     return tokens, lens, sum_lp, finished, no_speech_prob
 
@@ -793,6 +839,18 @@ def _fused_cross_enabled() -> bool:
     import os
 
     return os.environ.get("FWT_FUSED_CROSS") == "1"
+
+
+@functools.lru_cache(maxsize=1)
+def _cond_chunk_default() -> int:
+    """Early-exit check interval (GenOptions.cond_chunk).  FWT_COND_CHUNK
+    overrides; 1 checks every step."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("FWT_COND_CHUNK", "1")))
+    except ValueError:
+        return 1
 
 
 @functools.lru_cache(maxsize=1)
@@ -950,6 +1008,7 @@ def generate_dispatch(
             ctx_cap=ctx_cap,
             kv_int8=kv_int8,
             fused_attn=_fused_attn_default(),
+            cond_chunk=_cond_chunk_default(),
         )
         arrays = sample(
             params,
@@ -981,6 +1040,7 @@ def generate_dispatch(
         ctx_cap=ctx_cap,
         kv_int8=kv_int8,
         fused_attn=_fused_attn_default(),
+        cond_chunk=_cond_chunk_default(),
     )
     arrays = beam_search(
         params,

@@ -595,6 +595,116 @@ def _cross_kernel_quant(
     attn_ref[0] = attn.astype(attn_ref.dtype)
 
 
+def _cross_kernel_quant_flash(
+    layer_ref,  # (1,) int32
+    q_ref,  # (1, HB, K, D)
+    ck_ref,  # (1, 1, HB, TB, D) int8 — one T-block
+    cks_ref,  # (1, 1, HB, 1, TB)
+    cv_ref,  # (1, 1, HB, TB, D) int8
+    cvs_ref,  # (1, 1, HB, 1, TB)
+    attn_ref,  # (1, HB, K, D)
+    acc_ref,  # VMEM scratch (HB, K, D) f32
+    m_ref,  # VMEM scratch (HB, K) f32 — running max
+    l_ref,  # VMEM scratch (HB, K) f32 — running denom
+    *,
+    d_scale: float,
+    t_real: int,
+):
+    """T-blocked online-softmax ("flash decoding") variant of
+    ``_cross_kernel_quant``.  The whole-T kernel fetches one ~4 MB
+    (HB, 1500, D) K/V pair per grid step, which leaves Mosaic only
+    B x H/HB grid steps of pipeline depth; blocking T multiplies the
+    grid so the next block's DMA overlaps this block's dots.  Math is
+    the standard streaming softmax: carry (acc, m, l) in VMEM scratch
+    across the T-block grid dimension, normalize once at the last
+    block.  The q block index is constant along that dimension, so
+    Mosaic fetches q once per (b, head-tile).
+
+    Mosaic wants the cache block's ctx dim 8-aligned and the scale
+    block's minor dim 128-aligned, and T=1500 has no such divisor, so
+    TB is a multiple of 128 and the LAST block hangs past T; columns
+    >= ``t_real`` (whose memory is undefined, possibly NaN) are masked
+    out of the softmax and the PV weights."""
+    ti = pl.program_id(2)
+    nt = pl.num_programs(2)
+    hb, k, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    tb = ck_ref.shape[3]
+    dot_t = q_ref.dtype
+    # valid (in-range) columns of this block: (1, 1, TB)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, tb), 2) + ti * tb < t_real
+    )
+
+    @pl.when(ti == 0)
+    def _init():
+        m_ref[...] = jnp.full((hb, k), _NEG_INF, jnp.float32)
+        l_ref[...] = jnp.zeros((hb, k), jnp.float32)
+        acc_ref[...] = jnp.zeros((hb, k, d), jnp.float32)
+
+    qf = q_ref[0].astype(jnp.float32) * d_scale
+    use_s8 = jnp.dtype(dot_t) == jnp.dtype(jnp.bfloat16)
+    if use_s8:  # native s8 MXU path (see _cross_kernel_quant)
+        q_s = jnp.maximum(
+            jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0, 1e-10
+        )
+        q_i8 = jnp.clip(jnp.round(qf / q_s), -127, 127).astype(jnp.int8)
+        scores = (
+            jax.lax.dot_general(
+                q_i8,
+                ck_ref[0, 0],  # (HB, TB, D) int8
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * q_s
+        )  # (HB, K, TB)
+    else:
+        scores = jax.lax.dot_general(
+            qf.astype(dot_t),
+            ck_ref[0, 0].astype(dot_t),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    scores = scores * cks_ref[0, 0].astype(jnp.float32)  # (HB, 1, TB) bcast
+    scores = jnp.where(valid, scores, _NEG_INF)
+
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1))  # (HB, K)
+    alpha = jnp.exp(m_old - m_new)  # 0 on the first block (m_old = -inf)
+    p = jnp.exp(scores - m_new[..., None])  # (HB, K, TB)
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1)
+
+    # V-scales into the weights; re-mask after the multiply (the padded
+    # tail's scale bytes may be NaN, and 0 * NaN is NaN)
+    p = jnp.where(valid, p * cvs_ref[0, 0].astype(jnp.float32), 0.0)
+    if use_s8:
+        p_s = jnp.maximum(jnp.max(p, axis=-1, keepdims=True) / 127.0, 1e-10)
+        p_i8 = jnp.round(p / p_s).astype(jnp.int8)
+        pv = (
+            jax.lax.dot_general(
+                p_i8,
+                cv_ref[0, 0],  # (HB, TB, D) int8
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * p_s
+        )
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(dot_t),
+            cv_ref[0, 0].astype(dot_t),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[...] = acc_ref[...] * alpha[..., None] + pv
+
+    @pl.when(ti == nt - 1)
+    def _finish():
+        attn_ref[0] = (
+            acc_ref[...] / l_ref[...][..., None]
+        ).astype(attn_ref.dtype)
+
+
 def _cross_kernel_raw(
     layer_ref,
     q_ref,  # (1, HB, K, D)
@@ -624,6 +734,23 @@ def _cross_kernel_raw(
     attn_ref[0] = attn.astype(attn_ref.dtype)
 
 
+def _cross_t_block(t: int) -> int:
+    """T-block for the flash cross kernel.  Mosaic alignment (cache
+    block ctx dim % 8, scale block minor % 128) forces a multiple of
+    128; FWT_CROSS_TB rounds down to one.  0 or >= T selects the
+    whole-T kernel."""
+    import os
+
+    try:
+        cap = int(os.environ.get("FWT_CROSS_TB", "384"))
+    except ValueError:
+        cap = 384
+    tb = (cap // 128) * 128
+    if tb <= 0 or tb >= t:
+        return t
+    return tb
+
+
 def cross_attend(
     layer: jax.Array,  # scalar int32
     q: jax.Array,  # (B, H, K, D)
@@ -631,6 +758,7 @@ def cross_attend(
     cross_v,
     *,
     interpret: bool = False,
+    t_block: Optional[int] = None,
 ):
     """Decode-step cross-attention over the shared encoder K/V.
 
@@ -639,7 +767,10 @@ def cross_attend(
     is addressed by scalar-prefetch rather than materialized (the
     per-layer dynamic_index + layout copy was most of the XLA path's
     overhead above the ~1.3 ms/step HBM floor of the cross cache read).
-    """
+    The int8 path streams the T axis in blocks with an online softmax
+    (``_cross_kernel_quant_flash``) so the K/V DMA pipelines against the
+    dots; ``t_block`` overrides the FWT_CROSS_TB-derived block (t_block
+    >= T selects the whole-T kernel)."""
     quant = isinstance(cross_k, QuantKV)
     b, h, k, d = q.shape
     cache_q = cross_k.q if quant else cross_k
@@ -647,7 +778,6 @@ def cross_attend(
     hb = _head_block(h, 1, t)
     d_scale = d ** -0.5
 
-    grid = (b, h // hb)
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
 
     def im_q(bi, hi, lref):
@@ -665,9 +795,47 @@ def cross_attend(
     out_shape = jax.ShapeDtypeStruct((b, h, k, d), q.dtype)
 
     if quant:
+        tb = _cross_t_block(t) if t_block is None else min(max(t_block, 1), t)
+        if tb < t:
+            hb = _head_block(h, 1, tb)  # smaller blocks fit wider tiles
+
+            def im_q3(bi, hi, ti, lref):
+                return (bi, hi, 0, 0)
+
+            def im_cache3(bi, hi, ti, lref):
+                return (lref[0], bi, hi, ti, 0)
+
+            def im_scale3(bi, hi, ti, lref):
+                return (lref[0], bi, hi, 0, ti)
+
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, h // hb, pl.cdiv(t, tb)),
+                in_specs=[
+                    pl.BlockSpec((1, hb, k, d), im_q3),
+                    pl.BlockSpec((1, 1, hb, tb, d), im_cache3),
+                    pl.BlockSpec((1, 1, hb, 1, tb), im_scale3),
+                    pl.BlockSpec((1, 1, hb, tb, d), im_cache3),
+                    pl.BlockSpec((1, 1, hb, 1, tb), im_scale3),
+                ],
+                out_specs=pl.BlockSpec((1, hb, k, d), im_q3),
+                scratch_shapes=[
+                    pltpu.VMEM((hb, k, d), jnp.float32),
+                    pltpu.VMEM((hb, k), jnp.float32),
+                    pltpu.VMEM((hb, k), jnp.float32),
+                ],
+            )
+            return pl.pallas_call(
+                functools.partial(
+                    _cross_kernel_quant_flash, d_scale=d_scale, t_real=t
+                ),
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(layer_arr, q, cross_k.q, cross_k.s, cross_v.q, cross_v.s)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(b, h // hb),
             in_specs=[q_spec, cache_in, scale_in, cache_in, scale_in],
             out_specs=q_spec,
         )
@@ -680,7 +848,7 @@ def cross_attend(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
+        grid=(b, h // hb),
         in_specs=[q_spec, cache_in, cache_in],
         out_specs=q_spec,
     )

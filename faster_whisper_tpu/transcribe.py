@@ -738,6 +738,21 @@ class WhisperModel:
         pbar = tqdm(total=content_duration, unit="seconds", disable=not log_progress)
         last_speech_timestamp = 0.0
 
+        # Speculative next-window encode: while the current window's decode
+        # runs on the device, enqueue the encode of the PREDICTED next
+        # window (seek + segment_size — exact for no-speech skips and
+        # single-timestamp endings, the common full-window advances) right
+        # behind it on the device stream.  A hit removes the encode from
+        # the critical path; a miss wasted only device time that was idle
+        # during host-side bookkeeping.  Off when other device work rides
+        # the same gap (word-timestamp align, per-window language detect).
+        speculate = (
+            not options.word_timestamps
+            and not options.multilingual
+            and os.environ.get("FWT_SPEC_ENCODE", "1") != "0"
+        )
+        spec_seek, spec_output = None, None
+
         while clip_idx < len(seek_clips):
             seek_clip_start, seek_clip_end = seek_clips[clip_idx]
             if seek_clip_end > content_frames:
@@ -776,7 +791,11 @@ class WhisperModel:
             previous_tokens = all_tokens[prompt_reset_since:]
 
             if seek > 0 or encoder_output is None:
-                encoder_output = self.encode(segment)
+                if spec_seek == seek and spec_output is not None:
+                    encoder_output = spec_output  # speculation hit
+                else:
+                    encoder_output = self.encode(segment)
+            spec_seek, spec_output = None, None
 
             if options.multilingual:
                 results = self.model.detect_language(encoder_output)
@@ -793,12 +812,35 @@ class WhisperModel:
                 hotwords=options.hotwords,
             )
 
+            def _speculative_encode(
+                seek=seek, segment_size=segment_size,
+                seek_clip_end=seek_clip_end,
+            ):
+                pred = seek + segment_size
+                if pred >= seek_clip_end or pred >= content_frames:
+                    return
+                pred_size = min(
+                    nb_max_frames, content_frames - pred, seek_clip_end - pred
+                )
+                pred_window = extract_window(
+                    features_padded,
+                    jnp.int32(pred),
+                    jnp.int32(pred_size),
+                    nb_max_frames,
+                )
+                nonlocal spec_seek, spec_output
+                spec_output = self.encode(pred_window)  # async dispatch
+                spec_seek = pred
+
             (
                 result,
                 avg_logprob,
                 temperature,
                 compression_ratio,
-            ) = self.generate_with_fallback(encoder_output, prompt, tokenizer, options)
+            ) = self.generate_with_fallback(
+                encoder_output, prompt, tokenizer, options,
+                after_dispatch=_speculative_encode if speculate else None,
+            )
 
             if options.no_speech_threshold is not None:
                 should_skip = result.no_speech_prob > options.no_speech_threshold
@@ -960,7 +1002,12 @@ class WhisperModel:
         prompt: List[int],
         tokenizer: Tokenizer,
         options: TranscriptionOptions,
+        after_dispatch=None,
     ):
+        """``after_dispatch`` (optional, called at most once) runs right
+        after the FIRST decode rung is enqueued on the device stream —
+        the seek loop uses it to queue a speculative next-window encode
+        behind the in-flight decode."""
         decode_result = None
         all_results = []
         below_cr_threshold_results = []
@@ -998,9 +1045,7 @@ class WhisperModel:
                     "patience": options.patience,
                 }
 
-            result = self.model.generate(
-                encoder_output,
-                [prompt],
+            gen_kwargs = dict(
                 length_penalty=options.length_penalty,
                 repetition_penalty=options.repetition_penalty,
                 no_repeat_ngram_size=options.no_repeat_ngram_size,
@@ -1011,7 +1056,24 @@ class WhisperModel:
                 suppress_tokens=options.suppress_tokens,
                 max_initial_timestamp_index=max_initial_timestamp_index,
                 **kwargs,
-            )[0]
+            )
+            if hasattr(self.model, "generate_dispatch"):
+                # dispatch/collect split: the device starts decoding while
+                # the host runs ``after_dispatch`` (speculative next-window
+                # encode) before blocking on the result.
+                pending = self.model.generate_dispatch(
+                    encoder_output, [prompt], **gen_kwargs
+                )
+                if after_dispatch is not None:
+                    after_dispatch()
+                    after_dispatch = None
+                result = self.model.generate_collect(pending)[0]
+            else:
+                # reference-shaped engines (decision-parity harnesses)
+                # expose only ``generate``
+                result = self.model.generate(
+                    encoder_output, [prompt], **gen_kwargs
+                )[0]
 
             tokens = result.sequences_ids[0]
 

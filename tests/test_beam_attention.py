@@ -110,8 +110,12 @@ def test_xla_reference_respects_per_beam_positions():
     np.testing.assert_allclose(after[0, :, :, 0, 3], expect0, rtol=1e-6)
 
 
-@pytest.mark.parametrize("quant", [True, False])
-def test_cross_attend_matches_einsum(quant):
+@pytest.mark.parametrize(
+    "quant,t_block",
+    # t_block=24 does not divide T=32: exercises the padded tail block
+    [(True, None), (True, 8), (True, 24), (False, None)],
+)
+def test_cross_attend_matches_einsum(quant, t_block):
     from faster_whisper_tpu.ops.beam_attention import cross_attend
 
     rng = np.random.default_rng(7)
@@ -131,7 +135,7 @@ def test_cross_attend_matches_einsum(quant):
         # canonical cross-scale shape: (L, B, H, 1, T)
         ckq = QuantKV(ckq0.q, ckq0.s[:, :, :, None])
         cvq = QuantKV(cvq0.q, cvq0.s[:, :, :, None])
-        out = cross_attend(layer, q, ckq, cvq, interpret=True)
+        out = cross_attend(layer, q, ckq, cvq, interpret=True, t_block=t_block)
     else:
         ck_l, cv_l = ck[1], cv[1]
         out = cross_attend(layer, q, ck, cv, interpret=True)
@@ -176,7 +180,8 @@ def test_s8_mxu_path_matches_f32_reference():
     ).max() <= 1
 
 
-def test_cross_attend_s8_path_matches_f32_reference():
+@pytest.mark.parametrize("t_block", [None, 8])
+def test_cross_attend_s8_path_matches_f32_reference(t_block):
     from faster_whisper_tpu.ops.beam_attention import cross_attend
 
     rng = np.random.default_rng(13)
@@ -200,7 +205,8 @@ def test_cross_attend_s8_path_matches_f32_reference():
     ref = np.einsum("bhkt,bhtd->bhkd", p, cv_l)
 
     out = cross_attend(
-        layer, q.astype(jnp.bfloat16), ckq, cvq, interpret=True
+        layer, q.astype(jnp.bfloat16), ckq, cvq, interpret=True,
+        t_block=t_block,
     )
     o = np.asarray(out, np.float32)
     tol = 2e-2 * np.abs(ref).max()

@@ -451,3 +451,53 @@ def test_exact_topk_matches_lax_topk():
     v0, i0 = jax.lax.top_k(jnp.asarray(x), 10)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+
+def test_cond_chunk_parity(tiny_model, monkeypatch):
+    """Chunked early-exit (GenOptions.cond_chunk > 1) must be
+    output-neutral: the loop bodies are done/active-gated, so the frozen
+    steps a chunk runs past convergence change nothing.  Beam and
+    sampling, chunk sizes that do and do not divide the step count."""
+    from faster_whisper_tpu.generation import generate as G
+
+    cfg, params, tok, meta, xa = tiny_model
+
+    def run_beam():
+        return G.generate(
+            params, cfg, meta, xa, [tok.sot_sequence], sot_id=tok.sot,
+            beam_size=2, max_length=24, with_timestamps=True,
+            max_initial_timestamp_index=50, return_scores=True,
+        )[0]
+
+    def run_sample():
+        return G.generate(
+            params, cfg, meta, xa, [tok.sot_sequence], sot_id=tok.sot,
+            beam_size=1, sampling_temperature=0.8, sampling_topk=0,
+            num_hypotheses=2, max_length=24, with_timestamps=True,
+            rng_seed=11, return_scores=True,
+        )[0]
+
+    def with_chunk(n, fn):
+        monkeypatch.setenv("FWT_COND_CHUNK", str(n))
+        G._cond_chunk_default.cache_clear()
+        try:
+            return fn()
+        finally:
+            monkeypatch.delenv("FWT_COND_CHUNK")
+            G._cond_chunk_default.cache_clear()
+
+    base_b = with_chunk(1, run_beam)
+    base_s = with_chunk(1, run_sample)
+    for chunk in (3, 8):
+        got_b = with_chunk(chunk, run_beam)
+        assert got_b.sequences_ids == base_b.sequences_ids, chunk
+        np.testing.assert_allclose(
+            np.asarray(got_b.scores), np.asarray(base_b.scores),
+            rtol=1e-5, atol=1e-6,
+        )
+        got_s = with_chunk(chunk, run_sample)
+        assert got_s.sequences_ids == base_s.sequences_ids, chunk
+        np.testing.assert_allclose(
+            np.asarray(got_s.scores), np.asarray(base_s.scores),
+            rtol=1e-5, atol=1e-6,
+        )

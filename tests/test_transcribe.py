@@ -492,3 +492,31 @@ def test_tensor_parallel_int8_params_shard(model, jfk_path):
         jfk_path, language="en", beam_size=2, batch_size=2
     )
     assert list(segs)
+
+
+def test_speculative_encode_parity(monkeypatch):
+    """The sequential path's speculative next-window encode must be
+    output-neutral: identical segments with speculation on and off
+    (hits reuse a bitwise-identical encode; misses are discarded)."""
+    import faster_whisper_tpu as fw
+    from faster_whisper_tpu.testing import build_test_model
+
+    model = build_test_model()
+    audio = fw.decode_audio(
+        "/root/reference/tests/data/jfk.flac", sampling_rate=16000
+    )
+    audio = np.tile(audio, 4)[: 40 * 16000]
+
+    def run():
+        segments, _ = model.transcribe(
+            audio, language="en", beam_size=2, max_new_tokens=24,
+            temperature=[0.0],
+        )
+        return [(s.text, s.start, s.end, s.seek) for s in segments]
+
+    monkeypatch.setenv("FWT_SPEC_ENCODE", "0")
+    off = run()
+    monkeypatch.setenv("FWT_SPEC_ENCODE", "1")
+    on = run()
+    assert on == off
+    assert len(on) > 1
