@@ -88,13 +88,14 @@ class GenOptions:
     # (ops/beam_attention.py).  On by default on a single TPU chip; the
     # pure-XLA reference runs on CPU and under multi-device meshes.
     fused_attn: bool = False
-    # Steps per early-exit check.  The data-dependent ``any(~done)``
-    # cond costs ~1.7 ms/step in scheduling around the loop body (the
-    # SAME body runs 6.88 vs 8.59 ms/step under a counter cond —
-    # benchmarks/profile_loop2.py); an inner fori_loop of ``cond_chunk``
-    # steps amortizes that cost chunk-fold.  Output-neutral: the body is
-    # ``done``-gated, so the ≤chunk-1 frozen steps after convergence
-    # change nothing — they only cost wall-clock on early-exiting rows.
+    # Steps per early-exit check: an inner fori_loop of ``cond_chunk``
+    # steps amortizes the data-dependent ``any(~done)`` cond.  Measured
+    # on v5e it recovers only ~0.18 ms/step (full loop 8.78 -> 8.60 at
+    # chunk=2-4, WORSE at 8 — benchmarks/README.md profile_step row), so
+    # the default stays 1; the loop residual was the in-loop finished
+    # -pool merge, fixed structurally (see beam_search).  Output-neutral
+    # either way: the body is ``done``-gated, so the ≤chunk-1 frozen
+    # steps after convergence change nothing.
     cond_chunk: int = 1
 
 
@@ -403,10 +404,11 @@ def beam_search(
     host by walking the backpointers (``_backtrack``).  The finished pool
     is three (B, F) vectors (score, end length, slot): an eot candidate is
     fully identified by where and in which slot it ended, because history
-    columns are append-only and never rewritten.  This removes every
-    ctx-sized gather/concat from the loop body — profiled at ~1.6-2
-    ms/step of scheduler interference around the old buffer-carrying
-    finished pool (benchmarks/README.md, profile_step.py row).
+    columns are append-only and never rewritten.  The pool itself is
+    merged ONCE after the loop from step-indexed candidate buffers; the
+    loop carries only an exact occupancy counter (see the body's
+    finished-pool comment) — the in-loop merge measured ~1.7 ms/step of
+    scheduler interference (benchmarks/README.md, profile_step.py row).
 
     The logits rules run from carried (B, K) scalars (last token, the one
     before it, max sampled timestamp) — see
@@ -457,9 +459,12 @@ def beam_search(
     penult_tok = jnp.zeros((b, K), jnp.int32)
     ts_max = jnp.full((b, K), -1, jnp.int32)
 
-    fin_slot = jnp.zeros((b, F), jnp.int32)
-    fin_lens = jnp.zeros((b, F), jnp.int32)
-    fin_scores = jnp.full((b, F), NEG_INF, jnp.float32)
+    # step-indexed eot-candidate buffers; merged into the (B, F) pool
+    # once, after the loop (see the body's finished-pool comment)
+    eot_buf_score = jnp.full((b, ctx, 2 * K), NEG_INF, jnp.float32)
+    eot_buf_slot = jnp.zeros((b, ctx, 2 * K), jnp.int32)
+    len_buf = jnp.zeros((b, ctx), jnp.int32)
+    nfin = jnp.zeros((b,), jnp.int32)
 
     # The loop cond reads a ONE-ITERATION-LAGGED done: the stopping vector
     # computed by iteration i sits at the end of that iteration's longest
@@ -484,7 +489,8 @@ def beam_search(
     def body(state):
         (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
          last_tok, penult_tok, ts_max, hist_tok, hist_par,
-         fin_slot, fin_lens, fin_scores, done, _done_lag) = state
+         eot_buf_score, eot_buf_slot, len_buf, nfin, step_i,
+         done, _done_lag) = state
 
         n_sampled = cur_len - prompt_len  # (B,)
         if needs_history:
@@ -514,21 +520,33 @@ def beam_search(
         cand_tok = cand_idx % V
         is_eot = cand_tok == meta.eot
 
-        # ---- finished pool: merge eot candidates (scores/lengths/slots
-        # only — the sequences live in the history tables) ----
+        # ---- finished pool: RECORD eot candidates, merge after the loop.
+        # The in-loop merge (concat + top_k + gathers feeding the carried
+        # pool and, through n_finished, the done vector) measured ~1.7
+        # ms/step of scheduler interference (profile_step.py ablation).
+        # Instead each step writes its 2K candidates into step-indexed
+        # buffers — same masked-column pattern as the history tables —
+        # and the pool is ONE top_k over (B, ctx*2K) post-loop.  Stopping
+        # stays exact without the pool: until it holds F entries every
+        # valid eot candidate occupies a free slot, and once full the
+        # count stays F, so ``min(F, nfin + #valid)`` IS the merged
+        # pool's occupancy, step for step.
         safe_len = jnp.maximum(n_sampled, 1).astype(jnp.float32)[:, None]
         norm_score = cand_val / (safe_len ** lp_pow)
-        eot_scores = jnp.where(is_eot & ~done[:, None], norm_score, NEG_INF)
+        eot_valid = is_eot & ~done[:, None]  # (B, 2K)
+        eot_scores = jnp.where(eot_valid, norm_score, NEG_INF)
 
-        all_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)  # (B, F+2K)
-        all_lens = jnp.concatenate(
-            [fin_lens, jnp.broadcast_to(cur_len[:, None], (b, 2 * K))], axis=1
+        hit_step = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, ctx, 1), 1) == step_i
+        ) & ~done[:, None, None]
+        eot_buf_score = jnp.where(hit_step, eot_scores[:, None, :], eot_buf_score)
+        eot_buf_slot = jnp.where(hit_step, cand_beam[:, None, :], eot_buf_slot)
+        len_buf = jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (1, ctx), 1) == step_i)
+            & ~done[:, None],
+            cur_len[:, None], len_buf,
         )
-        all_slots = jnp.concatenate([fin_slot, cand_beam], axis=1)
-        top_scores, top_idx = jax.lax.top_k(all_scores, F)
-        fin_scores = top_scores
-        fin_lens = _gather_rows(all_lens, top_idx)
-        fin_slot = _gather_rows(all_slots, top_idx)
+        nfin = jnp.minimum(F, nfin + jnp.sum(eot_valid, axis=1))
 
         # ---- refill active beams with the best K non-eot candidates ----
         keep = ~is_eot
@@ -586,9 +604,8 @@ def beam_search(
 
         # ---- stopping ----
         cur_len_new = jnp.minimum(cur_len + 1, ctx)
-        n_finished = jnp.sum(fin_scores > NEG_INF / 2, axis=1)
         hit_cap = cur_len_new >= jnp.minimum(max_length, ctx)
-        done_new = done | (n_finished >= F) | hit_cap
+        done_new = done | (nfin >= F) | hit_cap
 
         # frozen rows keep their previous carried state (caches and
         # ancestry need no freeze: slots are append-only and done rows'
@@ -599,20 +616,22 @@ def beam_search(
         return (
             cur_len_new, new_cum, self_k_new, self_v_new, anc_new,
             next_logits, new_tok, penult_new, ts_new, hist_tok, hist_par,
-            fin_slot, fin_lens, fin_scores, done_new, done,
+            eot_buf_score, eot_buf_slot, len_buf, nfin, step_i + 1,
+            done_new, done,
         )
 
     # NB round-3 measured dead ends for the ~1.3-1.7 ms/step full-loop
     # residual (benchmarks/profile_step.py): body unrolling (2x/4x per
-    # while iteration) made it WORSE (8.59 -> 8.73/8.84 ms/step), and
+    # while iteration) made it WORSE (8.59 -> 8.73/8.84 ms/step);
     # replacing the finished-pool lax.top_k with an iterative argmax
-    # merge was neutral.  What worked is cond chunking (see
-    # GenOptions.cond_chunk): the residual tracks the data-dependent
-    # cond, not the body.
+    # merge was neutral; cond chunking (GenOptions.cond_chunk) recovered
+    # only 0.18 ms/step (8.78 -> 8.60 at chunk=2-4, worse at 8).  The
+    # post-loop pool merge above is the structural fix the pool-ablation
+    # row pointed at.
     state = (
         cur_len, sum_lp, self_k, self_v, anc, cur_logits,
         last_tok, penult_tok, ts_max, hist_tok, hist_par,
-        fin_slot, fin_lens, fin_scores,
+        eot_buf_score, eot_buf_slot, len_buf, nfin, jnp.int32(0),
         jnp.zeros((b,), bool), jnp.zeros((b,), bool),
     )
     loop_body = body
@@ -624,9 +643,19 @@ def beam_search(
 
     (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
      last_tok, penult_tok, ts_max, hist_tok, hist_par,
-     fin_slot, fin_lens, fin_scores, done, _done_lag) = jax.lax.while_loop(
+     eot_buf_score, eot_buf_slot, len_buf, nfin, _step_i,
+     done, _done_lag) = jax.lax.while_loop(
         cond, loop_body, state
     )
+
+    # One-shot pool merge over every recorded eot candidate.  Flat index
+    # order is (step, candidate-rank) — the same tie-break order the
+    # old per-step incremental merge produced (earlier steps first, then
+    # candidate order within a step).
+    flat_scores = eot_buf_score.reshape(b, ctx * 2 * K)
+    fin_scores, top_idx = jax.lax.top_k(flat_scores, F)
+    fin_slot = _gather_rows(eot_buf_slot.reshape(b, ctx * 2 * K), top_idx)
+    fin_lens = _gather_rows(len_buf, top_idx // (2 * K))
 
     # The best active beam doubles as a fallback for rows whose finished
     # pool stayed empty (no eot before the length cap); selected host-side.

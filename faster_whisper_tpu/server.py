@@ -14,7 +14,11 @@ wrappers expose):
       (language, task, beam_size, batch_size, temperature,
       word_timestamps, vad_filter, initial_prompt, hotwords,
       response_format: json|verbose_json|text), or a raw audio body with
-      options in the query string.
+      options in the query string.  With ``stream=true`` the response is
+      Server-Sent Events: one ``transcript.segment`` event per segment AS
+      DECODED (the pipeline is a generator — segments stream while later
+      windows are still on the device), a final ``transcript.text.done``
+      event with the full text and info, then ``data: [DONE]``.
   GET  /healthz       -> {"status": "ok", "model": ...}
 
 Run:  python -m faster_whisper_tpu.server --model large-v3 --port 8000
@@ -123,6 +127,15 @@ class TranscriptionService:
             self.batcher.close()
 
     def transcribe_bytes(self, payload: bytes, options: dict):
+        segments, info = self.stream_bytes(payload, options)
+        return list(segments), info
+
+    def stream_bytes(self, payload: bytes, options: dict):
+        """Like ``transcribe_bytes`` but returns the LAZY segment
+        generator: callers (the SSE route) see each segment as soon as
+        its window is decoded.  Lock-requiring shapes (sequential mode,
+        multilingual) hold ``_lock`` for the lifetime of the generator,
+        so streaming consumers should drain promptly."""
         from faster_whisper_tpu.audio import decode_audio
         from faster_whisper_tpu.transcribe import BatchedInferencePipeline
 
@@ -133,11 +146,12 @@ class TranscriptionService:
             pipeline = BatchedInferencePipeline(
                 self.model, scheduler=self.batcher
             )
-            segments, info = pipeline.transcribe(
-                audio, batch_size=batch_size, **options
-            )
-            return list(segments), info
-        with self._lock:
+            return pipeline.transcribe(audio, batch_size=batch_size, **options)
+        # lock-requiring shapes: the eager phase of transcribe() (features,
+        # language detection) also touches the device, so take the lock
+        # before the call and hold it until the generator is drained
+        self._lock.acquire()
+        try:
             if self.batched and batch_size:
                 pipeline = BatchedInferencePipeline(self.model)
                 segments, info = pipeline.transcribe(
@@ -145,8 +159,46 @@ class TranscriptionService:
                 )
             else:
                 segments, info = self.model.transcribe(audio, **options)
-            segments = list(segments)  # drain inside the lock
-        return segments, info
+        except BaseException:
+            self._lock.release()
+            raise
+
+        return _LockedDrain(segments, self._lock), info
+
+
+class _LockedDrain:
+    """Iterates ``segments`` and releases ``lock`` exactly once when the
+    iteration finishes, errors, or the iterator is dropped (a plain
+    generator's ``finally`` never runs if the generator is never
+    started — that would leak the service lock and wedge the server)."""
+
+    def __init__(self, segments, lock):
+        self._segments = iter(segments)
+        self._lock = lock
+        self._released = False
+
+    def _release(self):
+        if not self._released:
+            self._released = True
+            self._lock.release()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._released:
+            raise StopIteration
+        try:
+            return next(self._segments)
+        except BaseException:
+            self._release()
+            raise
+
+    def close(self):
+        self._release()
+
+    def __del__(self):
+        self._release()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -197,15 +249,21 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(400, {"error": "no audio payload ('file' part)"})
             return
 
-        options, response_format = {}, "json"
+        options, response_format, stream = {}, "json", False
         try:
             for key, value in fields.items():
                 if key == "response_format":
                     response_format = value
+                elif key == "stream":
+                    stream = _BOOL[str(value).lower()]
                 elif key in _OPTION_PARSERS:
                     options[key] = _OPTION_PARSERS[key](value)
         except (KeyError, ValueError) as exc:
             self._send_json(400, {"error": f"bad option value: {exc}"})
+            return
+
+        if stream:
+            self._stream_response(payload, options, response_format)
             return
 
         try:
@@ -231,6 +289,64 @@ class _Handler(BaseHTTPRequestHandler):
             )
         out["segments"] = [_segment_dict(s, verbose) for s in segments]
         self._send_json(200, out)
+
+    def _stream_response(self, payload, options, response_format):
+        """Server-Sent Events: one ``transcript.segment`` event per
+        segment as it is decoded, then ``transcript.text.done`` with the
+        full text/info, then the ``[DONE]`` sentinel.  Transport errors
+        after the 200 status can only be signalled in-band (a
+        ``transcript.error`` event), as with any SSE stream."""
+        verbose = response_format == "verbose_json"
+        try:
+            segments, info = self.service.stream_bytes(payload, options)
+        except Exception as exc:
+            logger.exception("transcription failed")
+            self._send_json(500, {"error": str(exc)})
+            return
+
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-store")
+        self.send_header("Connection", "close")
+        self.end_headers()
+
+        def emit(obj):
+            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            self.wfile.flush()
+
+        texts = []
+        try:
+            try:
+                for seg in segments:
+                    texts.append(seg.text)
+                    emit({
+                        "type": "transcript.segment",
+                        "segment": _segment_dict(seg, verbose),
+                    })
+            finally:
+                close = getattr(segments, "close", None)
+                if close is not None:
+                    close()  # release the service lock on client abort
+            done = {"type": "transcript.text.done",
+                    "text": "".join(texts).strip()}
+            if verbose:
+                done.update(
+                    language=info.language,
+                    language_probability=info.language_probability,
+                    duration=info.duration,
+                    duration_after_vad=info.duration_after_vad,
+                )
+            emit(done)
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+        except BrokenPipeError:
+            logger.info("SSE client disconnected mid-stream")
+        except Exception as exc:
+            logger.exception("streaming transcription failed")
+            try:
+                emit({"type": "transcript.error", "error": str(exc)})
+            except OSError:
+                pass
 
     max_body_bytes = 512 * 1024 * 1024  # reject larger uploads with 413
 

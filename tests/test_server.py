@@ -243,3 +243,58 @@ def test_server_concurrent_requests_share_batches(server_obj, server_url):
     batches = service.batcher.batches_dispatched - b0
     assert chunks == 4
     assert batches < chunks, (batches, chunks)  # overlap happened
+
+
+def _parse_sse(raw: bytes):
+    events = []
+    for block in raw.decode().split("\n\n"):
+        block = block.strip()
+        if not block:
+            continue
+        assert block.startswith("data: "), block
+        data = block[len("data: "):]
+        events.append(data if data == "[DONE]" else json.loads(data))
+    return events
+
+
+def test_sse_streaming_batched(server_url):
+    """stream=true yields one transcript.segment event per segment, a
+    transcript.text.done summary, then [DONE] — and the streamed segments
+    equal the non-streaming response's."""
+    fields = {
+        "language": "en", "beam_size": "2", "vad_filter": "false",
+        "batch_size": "2", "response_format": "verbose_json",
+    }
+    with _post_multipart(server_url, _wav_bytes(), dict(fields)) as r:
+        plain = json.load(r)
+    with _post_multipart(
+        server_url, _wav_bytes(), dict(fields, stream="true")
+    ) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        events = _parse_sse(r.read())
+
+    assert events[-1] == "[DONE]"
+    done = events[-2]
+    assert done["type"] == "transcript.text.done"
+    assert done["text"] == plain["text"]
+    assert done["language"] == plain["language"]
+    seg_events = events[:-2]
+    assert all(e["type"] == "transcript.segment" for e in seg_events)
+    got = [(e["segment"]["start"], e["segment"]["end"], e["segment"]["text"])
+           for e in seg_events]
+    want = [(s["start"], s["end"], s["text"]) for s in plain["segments"]]
+    assert got == want
+
+
+def test_sse_streaming_sequential_releases_lock(server_url):
+    """batch_size=0 streams through the service lock; a second request
+    afterwards must not deadlock (the _LockedDrain released it)."""
+    fields = {
+        "language": "en", "beam_size": "1", "vad_filter": "false",
+        "batch_size": "0", "stream": "true",
+    }
+    for _ in range(2):
+        with _post_multipart(server_url, _wav_bytes(seed=2), dict(fields)) as r:
+            events = _parse_sse(r.read())
+        assert events[-1] == "[DONE]"
+        assert events[-2]["type"] == "transcript.text.done"
