@@ -94,15 +94,21 @@ def main():
     sot_pos = np.zeros((B,), np.int32)
 
     # ---- 1. full beam_search ----
+    # max_length counts from the ACTUAL prompt length (4), not the padded
+    # bucket P: the loop runs max_length - prompt_len iterations.  Rounds
+    # 2-3 passed P + STEPS here, silently running P - 4 = 28 extra
+    # iterations and reporting a phantom ~1.3-2 ms/step "loop residual"
+    # (1102.7 ms / 128 = 8.6 "ms/step" when the loop really ran 156
+    # iterations at 6.56 ms each + ~84 ms one-time prefill+expand).
     t = timeit(
         lambda: beam_search(
             params, config, gen_opts, proc_opts, meta, xa,
             jnp.asarray(prompt), jnp.asarray(prompt_len),
-            jnp.asarray(sot_pos), jnp.asarray(P + STEPS, jnp.int32),
+            jnp.asarray(sot_pos), jnp.asarray(4 + STEPS, jnp.int32),
         )
     )
     print(f"full beam_search ({STEPS} steps): {t*1e3:.1f} ms "
-          f"-> {t/STEPS*1e3:.2f} ms/step")
+          f"-> {t/STEPS*1e3:.2f} ms/step (incl. one-time prefill+expand)")
 
     # ---- shared state for isolation runs ----
     gather = jnp.stack(

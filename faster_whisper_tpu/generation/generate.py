@@ -90,12 +90,11 @@ class GenOptions:
     fused_attn: bool = False
     # Steps per early-exit check: an inner fori_loop of ``cond_chunk``
     # steps amortizes the data-dependent ``any(~done)`` cond.  Measured
-    # on v5e it recovers only ~0.18 ms/step (full loop 8.78 -> 8.60 at
-    # chunk=2-4, WORSE at 8 — benchmarks/README.md profile_step row), so
-    # the default stays 1; the loop residual was the in-loop finished
-    # -pool merge, fixed structurally (see beam_search).  Output-neutral
-    # either way: the body is ``done``-gated, so the ≤chunk-1 frozen
-    # steps after convergence change nothing.
+    # on v5e the cond is already free (~0.1 ms/iteration; the suspected
+    # "loop residual" was a profiler iteration-miscount — see
+    # benchmarks/README.md profile_step row), so the default stays 1 and
+    # chunking trades ≤chunk-1 output-neutral frozen iterations per call
+    # for nothing.  Kept as a tuning knob for other topologies.
     cond_chunk: int = 1
 
 
@@ -620,14 +619,14 @@ def beam_search(
             done_new, done,
         )
 
-    # NB round-3 measured dead ends for the ~1.3-1.7 ms/step full-loop
-    # residual (benchmarks/profile_step.py): body unrolling (2x/4x per
-    # while iteration) made it WORSE (8.59 -> 8.73/8.84 ms/step);
-    # replacing the finished-pool lax.top_k with an iterative argmax
-    # merge was neutral; cond chunking (GenOptions.cond_chunk) recovered
-    # only 0.18 ms/step (8.78 -> 8.60 at chunk=2-4, worse at 8).  The
-    # post-loop pool merge above is the structural fix the pool-ablation
-    # row pointed at.
+    # NB the rounds-2-3 hunt for a ~1.3-2 ms/step "loop residual" —
+    # body unrolling, pool-top_k replacement, cond chunking, lagged
+    # conds, and the post-loop pool merge above — ended when the
+    # residual turned out to be a profiler iteration-miscount (see
+    # benchmarks/README.md profile_step row).  The loop runs at 6.56
+    # ms/iteration marginal on v5e, exactly decoder + selection; the
+    # post-loop merge is kept because it also simplifies the carried
+    # state and shortens the done dependency chain.
     state = (
         cur_len, sum_lp, self_k, self_v, anc, cur_logits,
         last_tok, penult_tok, ts_max, hist_tok, hist_par,
