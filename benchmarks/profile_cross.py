@@ -92,8 +92,50 @@ def main():
         _, acc = jax.lax.fori_loop(0, STEPS, step, (q0, jnp.float32(0)))
         return acc
 
+    def xla_s8_sweep(q0, ckq, cks, cvq, cvs):
+        """XLA path with NATIVE s8 MXU dots: q (and the post-softmax
+        weights) are dynamically quantized per row so the cache is
+        consumed as int8 directly — no bf16 upcast of the (B,H,T,D)
+        slices on the critical path."""
+
+        def body(i, carry):
+            q, acc = carry
+            k = jax.lax.dynamic_index_in_dim(ckq, i, 0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(cvq, i, 0, keepdims=False)
+            ks = jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False)
+            vs = jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False)
+            qx = jnp.swapaxes(q, 1, 2).astype(jnp.float32) * scale  # (B,K,H,D)
+            q_s = jnp.maximum(
+                jnp.max(jnp.abs(qx), axis=-1, keepdims=True) / 127.0, 1e-10
+            )
+            q_i8 = jnp.clip(jnp.round(qx / q_s), -127, 127).astype(jnp.int8)
+            s = jnp.einsum(
+                "bkhd,bhtd->bkht", q_i8, k, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * q_s
+            s = s * jnp.swapaxes(ks, 1, 2)
+            w = jax.nn.softmax(s, axis=-1)
+            w = w * jnp.swapaxes(vs, 1, 2)
+            w_s = jnp.maximum(
+                jnp.max(jnp.abs(w), axis=-1, keepdims=True) / 127.0, 1e-10
+            )
+            w_i8 = jnp.round(w / w_s).astype(jnp.int8)
+            a = jnp.einsum(
+                "bkht,bhtd->bkhd", w_i8, v, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * w_s
+            return q, acc + jnp.sum(a)
+
+        def step(s, carry):
+            q, acc = carry
+            _, acc = jax.lax.fori_loop(0, L, body, (q, acc))
+            return (q * (1.0 + 1e-6 * acc)).astype(dtype), acc
+
+        _, acc = jax.lax.fori_loop(0, STEPS, step, (q0, jnp.float32(0)))
+        return acc
+
     t = timeit(jax.jit(xla_sweep), q, ckq, cks, cvq, cvs)
     print(f"xla-cross     : {t*1e3:8.1f} ms -> {t/STEPS*1e3:6.2f} ms/step")
+    t = timeit(jax.jit(xla_s8_sweep), q, ckq, cks, cvq, cvs)
+    print(f"xla-s8-cross  : {t*1e3:8.1f} ms -> {t/STEPS*1e3:6.2f} ms/step")
     t = timeit(jax.jit(ker_sweep), q, ck, cv)
     print(f"pallas-cross  : {t*1e3:8.1f} ms -> {t/STEPS*1e3:6.2f} ms/step")
 
