@@ -66,13 +66,22 @@ def _structural_segments(segments, want_words=False):
     it emits must be well-formed (ordered timestamps, sane word spans).
     Random weights legitimately produce empty outputs (no-speech skips) or
     word-less segments, so presence/text-equality stays a real-weights
-    check."""
+    check.
+
+    Cross-segment start monotonicity is only asserted WITHOUT word
+    timestamps: with them, the reference moves ``seek`` back to the last
+    aligned word's end after emitting the window's segments
+    (reference transcribe.py, the word-based seek shift in
+    generate_segments), so a re-decoded window can legitimately emit a
+    segment starting before the previous window's tail segments — common
+    with random weights, rare but possible with real ones."""
     segments = list(segments)
     last_start = 0.0
     for s in segments:
         assert s.end >= s.start >= 0, (s.start, s.end)
-        assert s.start >= last_start - 1e-6
-        last_start = s.start
+        if not want_words:
+            assert s.start >= last_start - 1e-6, (s.start, last_start)
+            last_start = s.start
         if want_words and s.words:
             for w in s.words:
                 assert w.end >= w.start >= 0
@@ -292,6 +301,12 @@ def main(argv=None) -> int:
     ]
     if args.checks:
         wanted = {c.strip() for c in args.checks.split(",")}
+        known = {n for n, _ in checks}
+        unknown = sorted(wanted - known)
+        if unknown:
+            p.error(
+                f"unknown --checks {unknown}; valid names: {sorted(known)}"
+            )
         checks = [(n, f) for n, f in checks if n in wanted]
 
     gate = Gate()

@@ -115,13 +115,14 @@ def test_validate_gate_mock_mode(capsys):
     # every pipeline variant, ~7 min on the CPU mesh); the command itself
     # defaults to all checks.
     rc = validate.main(
-        ["--mock", "--checks", "jfk batched,hotwords,librispeech wer"]
+        ["--mock", "--checks",
+         "jfk sequential + words,jfk batched,hotwords,librispeech wer"]
     )
     out = capsys.readouterr().out.strip().splitlines()[-1]
     summary = json.loads(out)
     assert rc == 0, summary
     assert summary["fail"] == 0
-    assert summary["pass"] == 2
+    assert summary["pass"] == 3
     assert summary["skip"] == 1  # WER skips without a dataset
     assert summary["mode"] == "mock"
 
