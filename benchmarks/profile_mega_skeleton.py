@@ -154,7 +154,7 @@ def build():
         pl.BlockSpec((1, 1, H, T, D), im_cross),
         pl.BlockSpec((1, 1, H, T, D), im_cross),
     ] + [
-        pl.BlockSpec(memory_space=pltpu.ANY) for _ in WNAMES
+        pl.BlockSpec(memory_space=pl.ANY) for _ in WNAMES
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -49,6 +49,11 @@ from faster_whisper_tpu.ops.beam_attention import (
     beam_attend_append_xla,
     cross_attend,
 )
+from faster_whisper_tpu.ops.mega_decoder import (
+    mega_decode_layers,
+    mega_supported,
+    pack_mega,
+)
 from faster_whisper_tpu.ops.quant import QuantKV, quantize_kv
 from faster_whisper_tpu.models.config import WhisperConfig
 from faster_whisper_tpu.models.model import (
@@ -88,6 +93,13 @@ class GenOptions:
     # (ops/beam_attention.py).  On by default on a single TPU chip; the
     # pure-XLA reference runs on CPU and under multi-device meshes.
     fused_attn: bool = False
+    # Whole-decoder megakernel (ops/mega_decoder.py): "on" fuses every
+    # decode-step layer into one pallas_call when fused_attn is active
+    # and the weights are int8; "interpret" forces it in Pallas
+    # interpret mode on any backend (CPU parity tests); "off" keeps the
+    # per-layer fused kernels.  Set from FWT_MEGA (default on).  Static
+    # so the jit cache keys on it.
+    mega_mode: str = "off"
     # Steps per early-exit check: an inner fori_loop of ``cond_chunk``
     # steps amortizes the data-dependent ``any(~done)`` cond.  Measured
     # on v5e the cond is already free (~0.1 ms/iteration; the suspected
@@ -134,6 +146,8 @@ def _gen_decoder_step(
     cross_v: jax.Array,
     anc: jax.Array,  # (B, K, ctx) ancestry slot map (identity when sampling)
     fused: bool = False,  # static: use the Pallas fused attention kernel
+    mega=None,  # static: MegaWeights -> whole-decoder megakernel path
+    mega_interpret: bool = False,
 ):
     """One decode step over the beam grid.
 
@@ -165,6 +179,21 @@ def _gen_decoder_step(
 
     x0 = dec["token_embed"][token] + dec["pos_embed"][pos]
     x0 = x0.astype(dtype)  # (B, K, d)
+
+    if mega is not None:
+        # Whole-decoder megakernel: every layer of the step in ONE
+        # pallas_call (ops/mega_decoder.py) — removes the ~50 us/call
+        # launch overhead of the per-layer cascade and streams the int8
+        # weights by manual DMA.  Embedding above and the final
+        # layernorm + logits below stay in XLA.
+        x, new_sk, new_sv = mega_decode_layers(
+            x0, pos_row, anc, self_k, self_v, cross_k, cross_v, mega,
+            n_head=n_head, interpret=mega_interpret,
+        )
+        x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+        from faster_whisper_tpu.models.model import _logits
+
+        return _logits(params, x), new_sk, new_sv
 
     def take(w, i):
         return jax.tree.map(
@@ -442,6 +471,7 @@ def beam_search(
     ) * jnp.ones((b, 1), jnp.float32)
 
     self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
+    mega, mega_interpret = _mega_setup(params, gen_opts)
 
     # Ancestry slot map: anc[b, k, c] = beam slot holding the K/V written at
     # position c for the chain currently owned by beam k.  Re-parenting
@@ -598,7 +628,8 @@ def beam_search(
         next_logits, self_k_new, self_v_new = _gen_decoder_step(
             params, config, new_tok, write_pos_bk,
             write_pos, self_k, self_v, cross_k, cross_v, anc_new,
-            fused=gen_opts.fused_attn,
+            fused=gen_opts.fused_attn, mega=mega,
+            mega_interpret=mega_interpret,
         )
 
         # ---- stopping ----
@@ -726,6 +757,7 @@ def sample(
     ts_max = jnp.full((b, K), -1, jnp.int32)
 
     self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
+    mega, mega_interpret = _mega_setup(params, gen_opts)
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
     # Identity ancestry: each sample attends only its own cache slot.
@@ -831,7 +863,8 @@ def sample(
             cross_k,
             cross_v,
             anc_id,
-            fused=gen_opts.fused_attn,
+            fused=gen_opts.fused_attn, mega=mega,
+            mega_interpret=mega_interpret,
         )
 
         return (tokens, lens, sum_lp, finished_new, self_k, self_v,
@@ -879,6 +912,38 @@ def _cond_chunk_default() -> int:
         return max(1, int(os.environ.get("FWT_COND_CHUNK", "1")))
     except ValueError:
         return 1
+
+
+@functools.lru_cache(maxsize=1)
+def _mega_mode() -> str:
+    """Whole-decoder megakernel mode (ops/mega_decoder.py).  "on" (the
+    default) fuses every decode-step layer into one pallas_call whenever
+    the fused path is active and the weights are int8; FWT_MEGA=0
+    disables it (falls back to the per-layer fused kernels); FWT_MEGA=
+    interpret forces it in Pallas interpret mode on any backend (CPU
+    parity testing)."""
+    import os
+
+    v = os.environ.get("FWT_MEGA", "1")
+    if v == "0":
+        return "off"
+    if v == "interpret":
+        return "interpret"
+    return "on"
+
+
+def _mega_setup(params, gen_opts: "GenOptions"):
+    """Resolve the megakernel path for one generate call: returns
+    (MegaWeights | None, interpret).  Packing runs OUTSIDE the decode
+    loop so XLA materializes the vector table once per call."""
+    if not (gen_opts.kv_int8 and mega_supported(params)):
+        return None, False
+    mode = gen_opts.mega_mode
+    if mode == "interpret":
+        return pack_mega(params), True
+    if mode == "on" and gen_opts.fused_attn:
+        return pack_mega(params), False
+    return None, False
 
 
 @functools.lru_cache(maxsize=1)
@@ -1036,6 +1101,7 @@ def generate_dispatch(
             ctx_cap=ctx_cap,
             kv_int8=kv_int8,
             fused_attn=_fused_attn_default(),
+            mega_mode=_mega_mode(),
             cond_chunk=_cond_chunk_default(),
         )
         arrays = sample(
@@ -1068,6 +1134,7 @@ def generate_dispatch(
         ctx_cap=ctx_cap,
         kv_int8=kv_int8,
         fused_attn=_fused_attn_default(),
+        mega_mode=_mega_mode(),
         cond_chunk=_cond_chunk_default(),
     )
     arrays = beam_search(
