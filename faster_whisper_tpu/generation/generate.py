@@ -471,7 +471,7 @@ def beam_search(
     ) * jnp.ones((b, 1), jnp.float32)
 
     self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
-    mega, mega_interpret = _mega_setup(params, gen_opts)
+    mega, mega_interpret = _mega_setup(params, gen_opts, config)
 
     # Ancestry slot map: anc[b, k, c] = beam slot holding the K/V written at
     # position c for the chain currently owned by beam k.  Re-parenting
@@ -757,7 +757,7 @@ def sample(
     ts_max = jnp.full((b, K), -1, jnp.int32)
 
     self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
-    mega, mega_interpret = _mega_setup(params, gen_opts)
+    mega, mega_interpret = _mega_setup(params, gen_opts, config)
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
     # Identity ancestry: each sample attends only its own cache slot.
@@ -932,11 +932,32 @@ def _mega_mode() -> str:
     return "on"
 
 
-def _mega_setup(params, gen_opts: "GenOptions"):
+def _mega_fits_vmem(params, gen_opts: "GenOptions", config) -> bool:
+    """Conservative VMEM estimate for the megakernel: double-buffered
+    int8 weight scratch + pipeline double-buffers of the (lane-padded)
+    cache blocks must fit under the ~120 MB compiler budget.  Oversized
+    configs (very wide beams x the full 448-ctx bucket) fall back to
+    the per-layer kernels instead of failing Mosaic compilation."""
+    dm = config.n_text_state
+    h = config.n_text_head
+    d_pad = max(128, dm // h)
+    k = gen_opts.beam_size
+    ctx = min(gen_opts.ctx_cap, config.n_text_ctx)
+    t = config.n_audio_ctx
+    ff = 4 * dm
+    wbufs = 2 * (6 * dm * dm + 2 * dm * ff)
+    self_blocks = 2 * 2 * 2 * h * k * ctx * d_pad  # k+v, double-buffered
+    cross_blocks = 2 * 2 * 2 * h * t * d_pad
+    return wbufs + self_blocks + cross_blocks < 112 * 1024 * 1024
+
+
+def _mega_setup(params, gen_opts: "GenOptions", config=None):
     """Resolve the megakernel path for one generate call: returns
     (MegaWeights | None, interpret).  Packing runs OUTSIDE the decode
     loop so XLA materializes the vector table once per call."""
     if not (gen_opts.kv_int8 and mega_supported(params)):
+        return None, False
+    if config is not None and not _mega_fits_vmem(params, gen_opts, config):
         return None, False
     mode = gen_opts.mega_mode
     if mode == "interpret":

@@ -80,6 +80,14 @@ _NV = len(_ROWS)
 _WNAMES = ("wq", "wk", "wv", "wo", "cwq", "cwo", "w1", "w2")
 
 
+def _ablated(section: str) -> bool:
+    """TEMPORARY compile-time bisect hook: FWT_MEGA_ABLATE lists kernel
+    sections to stub out (comma-separated).  Diagnostic only."""
+    import os
+
+    return section in os.environ.get("FWT_MEGA_ABLATE", "").split(",")
+
+
 class MegaWeights(NamedTuple):
     """Decoder weights repacked for the megakernel.
 
@@ -254,54 +262,50 @@ def mega_decode_layers_xla(
             jnp.where(cols, vs_new[..., None].astype(vs.dtype), vs[li])
         )
 
+        # merged-slot attention, mirroring the kernel op-for-op: single
+        # QK/PV dots over the joint (K*ctx) axis, one softmax, own-column
+        # patch, ancestry+causal mask (post-append cache reads are
+        # equivalent — the own patch and the mask cover every column the
+        # append touched)
+        f = k * ctx
         own = jnp.sum(qf * knd, axis=-1, keepdims=True)  # (B, H, K, 1)
-        allow = c_pos[None, None, :] <= pos[:, None, None]  # (B, 1, ctx)
+        f_pos = jnp.arange(f)
+        own_m = (
+            f_pos[None, None, :]
+            == k_slot[..., None] * ctx + pos[:, None, None]
+        )[:, None]  # (B, 1, K, F)
+        sel = anc[:, :, None, :] == jnp.arange(k)[None, None, :, None]
+        allow = c_pos[None, None, None, :] <= pos[:, None, None, None]
+        mask_m = (sel & allow).reshape(b, k, f)[:, None]  # (B, 1, K, F)
+
         q_i8, q_s = quant_rows(qf)
-        scores_j, exps = [], []
-        for j in range(k):
-            s_j = jax.lax.dot_general(
-                q_i8, kq[li, :, :, j],
-                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * q_s  # (B, H, K, ctx)
-            s_j = s_j * ks[li, :, :, j][:, :, None].astype(jnp.float32)
-            own_sel = (
-                (k_slot[..., None] == j)
-                & (c_pos[None, None, :] == pos[:, None, None])
-            )[:, None]  # (B, 1, K, ctx)
-            s_j = jnp.where(own_sel, own, s_j)
-            sel = anc == j  # (B, K, ctx) slot-j ownership per query beam
-            s_j = jnp.where((sel & allow)[:, None], s_j, _NEG_INF)
-            scores_j.append(s_j)
-        m = scores_j[0].max(axis=-1, keepdims=True)
-        for s_j in scores_j[1:]:
-            m = jnp.maximum(m, s_j.max(axis=-1, keepdims=True))
-        exps = [jnp.exp(s_j - m) for s_j in scores_j]
-        denom = exps[0].sum(axis=-1, keepdims=True)
-        for e_j in exps[1:]:
-            denom = denom + e_j.sum(axis=-1, keepdims=True)
-        attn = jnp.zeros((b, H, k, D), jnp.float32)
-        p_own = jnp.zeros((b, H, k, 1), jnp.float32)
-        for j in range(k):
-            p_j = exps[j] / denom
-            own_sel = (
-                (k_slot[..., None] == j)
-                & (c_pos[None, None, :] == pos[:, None, None])
-            )[:, None]
-            p_own = p_own + jnp.sum(
-                jnp.where(own_sel, p_j, 0.0), axis=-1, keepdims=True
-            )
-            p_j = jnp.where(own_sel, 0.0, p_j)
-            p_j = p_j * vs[li, :, :, j][:, :, None].astype(jnp.float32)
-            p_s = jnp.maximum(
-                jnp.max(p_j, axis=-1, keepdims=True) / 127.0, 1e-10
-            )
-            p_i8 = jnp.round(p_j / p_s).astype(jnp.int8)
-            attn = attn + jax.lax.dot_general(
-                p_i8, vq[li, :, :, j],
-                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * p_s
+        kc = kq[li].reshape(b, H, f, D)
+        vc = vq[li].reshape(b, H, f, D)
+        ks_fl = ks[li].reshape(b, H, f).astype(jnp.float32)
+        vs_fl = vs[li].reshape(b, H, f).astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q_i8, kc,
+            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * q_s  # (B, H, K, F)
+        scores = scores * ks_fl[:, :, None, :]
+        scores = jnp.where(own_m, own, scores)
+        scores = jnp.where(mask_m, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p_own = jnp.sum(jnp.where(own_m, p, 0.0), axis=-1, keepdims=True)
+        p = jnp.where(own_m, 0.0, p)
+        p = p * vs_fl[:, :, None, :]
+        p_s = jnp.maximum(
+            jnp.max(p, axis=-1, keepdims=True) / 127.0, 1e-10
+        )
+        p_i8 = jnp.round(p / p_s).astype(jnp.int8)
+        attn = jax.lax.dot_general(
+            p_i8, vc,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * p_s
         attn = attn + p_own * vnd
 
         merged = attn.transpose(0, 2, 1, 3).reshape(b, k, dm)
@@ -347,10 +351,10 @@ def _kernel(
     pos_ref,  # (B,) int32 — per-row write position
     # blocked inputs
     x0_ref,  # (1, K, DM) dtype — embedded step tokens
-    anc_ref,  # (1, K, CTX) int32 — ancestry slot map
+    mask_ref,  # (1, K, K*CTX) int8 — ancestry+causal mask (XLA-built)
     vecs_ref,  # (1, NV, FF) f32 — packed per-layer vectors
     kq_ref,  # (1, 1, H, K, CTX, D) int8 — self-K cache block
-    ks_ref,  # (1, 1, H, K, CTX) bf16/f32 scales
+    ks_ref,  # (1, 1, H, K*CTX) bf16/f32 scales, slot-major flat
     vq_ref,
     vs_ref,
     ckq_ref,  # (1, 1, H, T, D) int8 — cross-K cache block
@@ -418,6 +422,8 @@ def _kernel(
 
     def ln(x, g, bb):
         """f32-statistics layernorm, output in x's dtype (models.model)."""
+        if _ablated("ln"):
+            return x
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean((xf - mean) * (xf - mean), axis=-1, keepdims=True)
@@ -441,12 +447,16 @@ def _kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+        if _ablated("vrow"):
+            return acc.astype(jnp.float32) * sx * 2e-4
         y = acc.astype(jnp.float32) * sx * vrow(sname, out_w)
         if bname is not None:
             y = y + vrow(bname, out_w)
         return y  # (K, out_w) f32
 
     def split_heads(y):  # (K, DM) f32 -> (H, K, D) via static lane slices
+        if _ablated("split"):
+            return jnp.broadcast_to(y[None, :, :D], (H, k, D)) * 1.0
         return jnp.stack(
             [y[:, h * D: (h + 1) * D] for h in range(H)], axis=0
         )
@@ -474,7 +484,10 @@ def _kernel(
         )
 
     # ---- residual stream: VMEM-resident across the whole grid ----
-    x = jnp.where(l == 0, x0_ref[0], xs[b])  # (K, DM) dtype
+    if _ablated("xs"):
+        x = x0_ref[0]
+    else:
+        x = jnp.where(l == 0, x0_ref[0], xs[b])  # (K, DM) dtype
 
     # ================= self attention (append + attend) =================
     h1 = ln(x, "ln1_g", "ln1_b")
@@ -490,103 +503,141 @@ def _kernel(
     knd = knq * ks_new[..., None]
     vnd = vnq * vs_new[..., None]
 
-    # cache append (aliased outputs): 8-slot value window + whole scale rows
-    wc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _WIN, 1), 2) == (pos - win)
-    kqo_ref[0, 0] = jnp.where(
-        wc, knq[:, :, None, :],
-        kq_ref[0, 0, :, :, pl.ds(win, _WIN), :].astype(jnp.float32),
-    ).astype(jnp.int8)
-    vqo_ref[0, 0] = jnp.where(
-        wc, vnq[:, :, None, :],
-        vq_ref[0, 0, :, :, pl.ds(win, _WIN), :].astype(jnp.float32),
-    ).astype(jnp.int8)
-    sc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ctx), 2) == pos
-    kso_ref[0, 0] = jnp.where(
-        sc, ks_new[..., None], ks_ref[0, 0].astype(jnp.float32)
-    ).astype(kso_ref.dtype)
-    vso_ref[0, 0] = jnp.where(
-        sc, vs_new[..., None], vs_ref[0, 0].astype(jnp.float32)
-    ).astype(vso_ref.dtype)
+    # cache append (aliased outputs): 8-slot value window + whole flat
+    # scale rows (column j*ctx + pos of slot j gets its new scale)
+    f = k * ctx  # merged slot-position axis, f = j*ctx + c
+    if _ablated("append"):
+        kqo_ref[0, 0] = knq.astype(jnp.int8)[:, :, None, :] * jnp.ones(
+            (1, 1, _WIN, 1), jnp.int8
+        )
+        vqo_ref[0, 0] = vnq.astype(jnp.int8)[:, :, None, :] * jnp.ones(
+            (1, 1, _WIN, 1), jnp.int8
+        )
+    else:
+        wc = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, _WIN, 1), 2
+        ) == (pos - win)
+        kqo_ref[0, 0] = jnp.where(
+            wc, knq[:, :, None, :],
+            kq_ref[0, 0, :, :, pl.ds(win, _WIN), :].astype(jnp.float32),
+        ).astype(jnp.int8)
+        vqo_ref[0, 0] = jnp.where(
+            wc, vnq[:, :, None, :],
+            vq_ref[0, 0, :, :, pl.ds(win, _WIN), :].astype(jnp.float32),
+        ).astype(jnp.int8)
+    f_ids = jax.lax.broadcasted_iota(jnp.int32, (1, f), 1)
+    f_div = f_ids // ctx  # slot of column f
+    f_rem = f_ids - f_div * ctx  # ctx position of column f
+    ks_old = ks_ref[0, 0].astype(jnp.float32)  # (H, F) pre-append scales
+    vs_old = vs_ref[0, 0].astype(jnp.float32)
+    ks_wr, vs_wr = ks_old, vs_old
+    if not _ablated("scaleappend"):
+        for j in range(k):
+            hitj = (f_div == j) & (f_rem == pos)  # column j*ctx+pos
+            ks_wr = jnp.where(hitj, ks_new[:, j: j + 1], ks_wr)
+            vs_wr = jnp.where(hitj, vs_new[:, j: j + 1], vs_wr)
+    kso_ref[0, 0] = ks_wr.astype(kso_ref.dtype)
+    vso_ref[0, 0] = vs_wr.astype(vso_ref.dtype)
 
-    # ancestry-masked attention over the K beam slots (old cache block +
-    # patched own term) — ops/beam_attention.py::_kernel_quant math
+    # Ancestry-masked attention over the K beam slots, MERGED across
+    # slots: the (H, K, ctx, D) cache block is viewed as (H, K*ctx, D)
+    # (a free retiling — ctx is sublane-aligned), so QK/PV are single
+    # batched dots and the softmax runs once over the joint axis.  The
+    # per-slot unrolled form measures ~600x slower in-kernel
+    # (benchmarks/profile_mega_heads.py merged probe).  The new token
+    # enters as a patched "own" column; the ancestry+causal mask arrives
+    # precomputed (mask_ref, built per step in XLA from anc/pos).
     own = jnp.sum(qf * knd, axis=-1, keepdims=True)  # (H, K, 1)
-    k_ids = jax.lax.broadcasted_iota(jnp.int32, (k, ctx), 0)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (k, ctx), 1)
-    anc = anc_ref[0]  # (K, CTX)
-    allow = c_ids <= pos
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, f), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (k, f), 1)
+    own_m = (col_ids == row_ids * ctx + pos)[None]  # (1, K, F)
+    allow_m = (mask_ref[0] != 0)[None]  # (1, K, F)
 
-    q_i8, q_s = quant_rows(qf)
-    scores_j = []
-    for j in range(k):
-        s_j = jax.lax.dot_general(
-            q_i8, kq_ref[0, 0, :, j],
+    if _ablated("self"):
+        attn = qf + knd * 1e-6 + vnd * 1e-6
+    else:
+        q_i8, q_s = quant_rows(qf)
+        kc = kq_ref[0, 0].reshape(H, f, D)  # free view: merge (K, ctx)
+        vc = vq_ref[0, 0].reshape(H, f, D)
+        scores = jax.lax.dot_general(
+            q_i8, kc,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * q_s  # (H, K, CTX)
-        s_j = s_j * ks_ref[0, 0, :, j][:, None].astype(jnp.float32)
-        s_j = jnp.where(((k_ids == j) & (c_ids == pos))[None], own, s_j)
-        s_j = jnp.where(((anc == j) & allow)[None], s_j, _NEG_INF)
-        scores_j.append(s_j)
+        ).astype(jnp.float32) * q_s  # (H, K, F)
+        scores = scores * ks_old[:, None, :]
+        scores = jnp.where(own_m, own, scores)
+        scores = jnp.where(allow_m, scores, _NEG_INF)
 
-    m = scores_j[0].max(axis=-1, keepdims=True)
-    for s_j in scores_j[1:]:
-        m = jnp.maximum(m, s_j.max(axis=-1, keepdims=True))
-    exps = [jnp.exp(s_j - m) for s_j in scores_j]
-    denom = exps[0].sum(axis=-1, keepdims=True)
-    for e_j in exps[1:]:
-        denom = denom + e_j.sum(axis=-1, keepdims=True)
-
-    attn = jnp.zeros((H, k, D), jnp.float32)
-    p_own = jnp.zeros((H, k, 1), jnp.float32)
-    for j in range(k):
-        p_j = exps[j] / denom  # (H, K, CTX)
-        own_sel = ((k_ids == j) & (c_ids == pos))[None]
-        p_own = p_own + jnp.sum(
-            jnp.where(own_sel, p_j, 0.0), axis=-1, keepdims=True
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (H, K, F)
+        p_own = jnp.sum(jnp.where(own_m, p, 0.0), axis=-1, keepdims=True)
+        p = jnp.where(own_m, 0.0, p)
+        p = p * vs_old[:, None, :]
+        p_s = jnp.maximum(
+            jnp.max(p, axis=-1, keepdims=True) / 127.0, 1e-10
         )
-        p_j = jnp.where(own_sel, 0.0, p_j)
-        p_j = p_j * vs_ref[0, 0, :, j][:, None].astype(jnp.float32)
-        p_s = jnp.maximum(jnp.max(p_j, axis=-1, keepdims=True) / 127.0, 1e-10)
-        p_i8 = jnp.round(p_j / p_s).astype(jnp.int8)
-        attn = attn + jax.lax.dot_general(
-            p_i8, vq_ref[0, 0, :, j],
+        p_i8 = jnp.round(p / p_s).astype(jnp.int8)
+        attn = jax.lax.dot_general(
+            p_i8, vc,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * p_s
-    attn = attn + p_own * vnd
+        attn = attn + p_own * vnd
 
-    x = x + merge_dense(attn, 3, "s_wo", "b_o").astype(dtype)
+    if _ablated("merge"):
+        x = x + (
+            attn.sum(axis=0).sum(axis=-1, keepdims=True) * 1e-6
+        ).astype(dtype)
+    else:
+        x = x + merge_dense(attn, 3, "s_wo", "b_o").astype(dtype)
 
     # ======================= cross attention ===========================
     h2 = ln(x, "ln2_g", "ln2_b")
     qx = split_heads(dense(h2, 4, "s_cwq", "b_cq", dm)) * d_scale
-    qx_i8, qx_s = quant_rows(qx)
-    cs = jax.lax.dot_general(
-        qx_i8, ckq_ref[0, 0],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * qx_s  # (H, K, T)
-    cs = cs * cks_ref[0, 0].astype(jnp.float32)  # K-scales (H, 1, T)
-    cm = jnp.max(cs, axis=-1, keepdims=True)
-    ce = jnp.exp(cs - cm)
-    cp = ce / jnp.sum(ce, axis=-1, keepdims=True)
-    cp = cp * cvs_ref[0, 0].astype(jnp.float32)  # V-scales folded in
-    cp_s = jnp.maximum(jnp.max(cp, axis=-1, keepdims=True) / 127.0, 1e-10)
-    cp_i8 = jnp.round(cp / cp_s).astype(jnp.int8)
-    cattn = jax.lax.dot_general(
-        cp_i8, cvq_ref[0, 0],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * cp_s  # (H, K, D)
+    if _ablated("cross"):
+        ct1 = jnp.sum(
+            ckq_ref[0, 0].astype(jnp.float32), axis=1, keepdims=True
+        )  # (H, 1, D) — keeps the cache read
+        ct2 = jnp.sum(
+            cvq_ref[0, 0].astype(jnp.float32), axis=1, keepdims=True
+        )
+        cattn = qx + (ct1 + ct2) * 1e-9
+    else:
+        qx_i8, qx_s = quant_rows(qx)
+        cs = jax.lax.dot_general(
+            qx_i8, ckq_ref[0, 0],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * qx_s  # (H, K, T)
+        cs = cs * cks_ref[0, 0].astype(jnp.float32)  # K-scales (H, 1, T)
+        cm = jnp.max(cs, axis=-1, keepdims=True)
+        ce = jnp.exp(cs - cm)
+        cp = ce / jnp.sum(ce, axis=-1, keepdims=True)
+        cp = cp * cvs_ref[0, 0].astype(jnp.float32)  # V-scales folded in
+        cp_s = jnp.maximum(
+            jnp.max(cp, axis=-1, keepdims=True) / 127.0, 1e-10
+        )
+        cp_i8 = jnp.round(cp / cp_s).astype(jnp.int8)
+        cattn = jax.lax.dot_general(
+            cp_i8, cvq_ref[0, 0],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * cp_s  # (H, K, D)
 
-    x = x + merge_dense(cattn, 5, "s_cwo", "b_co").astype(dtype)
+    if _ablated("merge"):
+        x = x + (
+            cattn.sum(axis=0).sum(axis=-1, keepdims=True) * 1e-6
+        ).astype(dtype)
+    else:
+        x = x + merge_dense(cattn, 5, "s_cwo", "b_co").astype(dtype)
 
     # ============================= MLP =================================
     h3 = ln(x, "ln3_g", "ln3_b")
     ff = wbufs[6].shape[2]
     hm = dense(h3, 6, "s_w1", "b_1", ff)  # (K, FF) f32
-    hm = 0.5 * hm * (1.0 + _erf(hm * (2.0 ** -0.5)))  # exact gelu
+    if not _ablated("gelu"):
+        hm = 0.5 * hm * (1.0 + _erf(hm * (2.0 ** -0.5)))  # exact gelu
     x = x + dense(hm.astype(dtype), 7, "s_w2", "b_2", dm).astype(dtype)
 
     xs[b] = x
@@ -616,13 +667,33 @@ def mega_decode_layers(
     ctx = self_k.q.shape[4]
     t = cross_k.q.shape[3]
     d = dm // n_head
+    f = k * ctx
     n_w = len(_WNAMES)
     w_stacks = [getattr(mega, n) for n in _WNAMES]
+    assert ctx % 8 == 0, "ctx must be sublane-aligned for the merged view"
+
+    # self-cache scales travel slot-major FLAT through the kernel so the
+    # merged-axis score/weight multiplies are single (H, F) broadcasts;
+    # the reshapes are free bitcasts on the contiguous (..., K, ctx)
+    # layout and the external QuantKV layout is unchanged.
+    ks_flat = jnp.reshape(self_k.s, self_k.s.shape[:3] + (f,))
+    vs_flat = jnp.reshape(self_v.s, self_v.s.shape[:3] + (f,))
+
+    # ancestry + causal mask, built once per step in XLA: column
+    # j*ctx + c of query beam k is attendable iff anc[b, k, c] == j and
+    # c <= pos_row[b] (the kernel patches the own column's value).
+    kk = jnp.arange(k, dtype=anc.dtype)
+    sel = anc[:, :, None, :] == kk[None, None, :, None]  # (B, K, J, ctx)
+    allow = (
+        jnp.arange(ctx)[None, None, None, :]
+        <= pos_row[:, None, None, None]
+    )
+    mask8 = (sel & allow).astype(jnp.int8).reshape(b, k, f)
 
     def im_x(l, bi, pref):
         return (bi, 0, 0)
 
-    def im_anc(l, bi, pref):
+    def im_mask(l, bi, pref):
         return (bi, 0, 0)
 
     def im_vecs(l, bi, pref):
@@ -632,7 +703,7 @@ def mega_decode_layers(
         return (l, bi, 0, 0, 0, 0)
 
     def im_sscale(l, bi, pref):
-        return (l, bi, 0, 0, 0)
+        return (l, bi, 0, 0)
 
     def im_cross(l, bi, pref):
         return (l, bi, 0, 0, 0)
@@ -648,12 +719,12 @@ def mega_decode_layers(
         grid=(L, b),
         in_specs=[
             pl.BlockSpec((1, k, dm), im_x),
-            pl.BlockSpec((1, k, ctx), im_anc),
+            pl.BlockSpec((1, k, f), im_mask),
             pl.BlockSpec((1, _NV, mega.vecs.shape[2]), im_vecs),
             pl.BlockSpec((1, 1, n_head, k, ctx, d), im_self),
-            pl.BlockSpec((1, 1, n_head, k, ctx), im_sscale),
+            pl.BlockSpec((1, 1, n_head, f), im_sscale),
             pl.BlockSpec((1, 1, n_head, k, ctx, d), im_self),
-            pl.BlockSpec((1, 1, n_head, k, ctx), im_sscale),
+            pl.BlockSpec((1, 1, n_head, f), im_sscale),
             pl.BlockSpec((1, 1, n_head, t, d), im_cross),
             pl.BlockSpec((1, 1, n_head, 1, t), im_cscale),
             pl.BlockSpec((1, 1, n_head, t, d), im_cross),
@@ -662,9 +733,9 @@ def mega_decode_layers(
         out_specs=[
             pl.BlockSpec((1, k, dm), im_x),
             pl.BlockSpec((1, 1, n_head, k, _WIN, d), im_self_out),
-            pl.BlockSpec((1, 1, n_head, k, ctx), im_sscale),
+            pl.BlockSpec((1, 1, n_head, f), im_sscale),
             pl.BlockSpec((1, 1, n_head, k, _WIN, d), im_self_out),
-            pl.BlockSpec((1, 1, n_head, k, ctx), im_sscale),
+            pl.BlockSpec((1, 1, n_head, f), im_sscale),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, k, dm), x0.dtype),
@@ -677,25 +748,27 @@ def mega_decode_layers(
     out_shape = [
         jax.ShapeDtypeStruct((b, k, dm), x0.dtype),
         jax.ShapeDtypeStruct(self_k.q.shape, self_k.q.dtype),
-        jax.ShapeDtypeStruct(self_k.s.shape, self_k.s.dtype),
+        jax.ShapeDtypeStruct(ks_flat.shape, ks_flat.dtype),
         jax.ShapeDtypeStruct(self_v.q.shape, self_v.q.dtype),
-        jax.ShapeDtypeStruct(self_v.s.shape, self_v.s.dtype),
+        jax.ShapeDtypeStruct(vs_flat.shape, vs_flat.dtype),
     ]
     x, kq, ks, vq, vs = pl.pallas_call(
         functools.partial(_kernel, n_head=n_head, d_head=d),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # flattened input index (incl. scalar prefetch) -> output index:
-        # inputs are [pos, x0, anc, vecs, kq, ks, vq, vs, ...]
+        # inputs are [pos, x0, mask, vecs, kq, ks, vq, vs, ...]
         input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        pos_row.astype(jnp.int32), x0, anc, mega.vecs,
-        self_k.q, self_k.s, self_v.q, self_v.s,
+        pos_row.astype(jnp.int32), x0, mask8, mega.vecs,
+        self_k.q, ks_flat, self_v.q, vs_flat,
         cross_k.q, cross_k.s, cross_v.q, cross_v.s,
         *w_stacks,
     )
+    ks = jnp.reshape(ks, self_k.s.shape)
+    vs = jnp.reshape(vs, self_v.s.shape)
     return x, QuantKV(kq, ks), QuantKV(vq, vs)
