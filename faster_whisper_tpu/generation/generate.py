@@ -93,12 +93,12 @@ class GenOptions:
     # (ops/beam_attention.py).  On by default on a single TPU chip; the
     # pure-XLA reference runs on CPU and under multi-device meshes.
     fused_attn: bool = False
-    # Whole-decoder megakernel (ops/mega_decoder.py): "on" fuses every
-    # decode-step layer into one pallas_call when fused_attn is active
-    # and the weights are int8; "interpret" forces it in Pallas
-    # interpret mode on any backend (CPU parity tests); "off" keeps the
-    # per-layer fused kernels.  Set from FWT_MEGA (default on).  Static
-    # so the jit cache keys on it.
+    # Whole-decoder megakernel (ops/mega_decoder.py) — EXPERIMENTAL,
+    # default off (see _mega_mode for why it is parked): "on" fuses
+    # every decode-step layer into one pallas_call when fused_attn is
+    # active and the weights are int8; "interpret" forces Pallas
+    # interpret mode on any backend (CPU parity tests).  Set from
+    # FWT_MEGA.  Static so the jit cache keys on it.
     mega_mode: str = "off"
     # Steps per early-exit check: an inner fori_loop of ``cond_chunk``
     # steps amortizes the data-dependent ``any(~done)`` cond.  Measured
@@ -916,20 +916,25 @@ def _cond_chunk_default() -> int:
 
 @functools.lru_cache(maxsize=1)
 def _mega_mode() -> str:
-    """Whole-decoder megakernel mode (ops/mega_decoder.py).  "on" (the
-    default) fuses every decode-step layer into one pallas_call whenever
-    the fused path is active and the weights are int8; FWT_MEGA=0
-    disables it (falls back to the per-layer fused kernels); FWT_MEGA=
-    interpret forces it in Pallas interpret mode on any backend (CPU
-    parity testing)."""
+    """Whole-decoder megakernel mode (ops/mega_decoder.py) — EXPERIMENTAL,
+    default off.  Two findings park it (benchmarks/README.md, round 3):
+    the attached chip's measured stream bandwidth is ~340-410 GB/s (not
+    the 819 GB/s datasheet number earlier floor analyses assumed), which
+    puts the production per-layer decode step within ~10% of the real
+    HBM floor already; and the attached remote-compile toolchain fails
+    on the mega-sized pallas_call inside a lax.while_loop (40+ min then
+    a compiler-helper crash; standalone it compiles in ~75 s).  The
+    kernel stays fully tested against its XLA twin in interpret mode.
+    FWT_MEGA=1 opts in on TPU; FWT_MEGA=interpret forces interpret mode
+    on any backend (CPU parity tests)."""
     import os
 
-    v = os.environ.get("FWT_MEGA", "1")
-    if v == "0":
-        return "off"
+    v = os.environ.get("FWT_MEGA", "0")
+    if v == "1":
+        return "on"
     if v == "interpret":
         return "interpret"
-    return "on"
+    return "off"
 
 
 def _mega_fits_vmem(params, gen_opts: "GenOptions", config) -> bool:
