@@ -108,6 +108,15 @@ class GenOptions:
     # chunking trades ≤chunk-1 output-neutral frozen iterations per call
     # for nothing.  Kept as a tuning knob for other topologies.
     cond_chunk: int = 1
+    # Laddered (two-phase) ctx decode: run the early beam-loop steps on a
+    # small self-KV cache (64 slots, doubling as positions fill) before
+    # switching to the full ctx_cap table — the self-KV read scales with
+    # the table size and is ~25% of the step's HBM traffic.  Each ladder
+    # rung is its own lax.while_loop inside one jitted program; carried
+    # state is zero-padded between rungs (_grow_ctx).  Output-identical
+    # to the single-phase loop: attention and the rule chain mask every
+    # position >= cur_len.  Set from FWT_MULTI_PHASE (default on).
+    multi_phase: bool = False
 
 
 class WhisperGenerationResult:
@@ -455,13 +464,20 @@ def beam_search(
     F = gen_opts.num_finished
     lp_pow = gen_opts.length_penalty
     b, p = prompt.shape
+    # Laddered ctx decode: the loop below runs once per ladder rung, on a
+    # KV table of phases[i] slots; ``ctx`` (the FULL logical table, what
+    # the single-phase loop used everywhere) keeps sizing the post-loop
+    # merge and the length caps, while in-body table shapes come from the
+    # carried arrays so one body serves every rung.
     ctx = min(gen_opts.ctx_cap, config.n_text_ctx)
+    phases = _ctx_phases(p, ctx, gen_opts)
+    ctx0 = phases[0]
     V = meta.vocab_size
     needs_history = _needs_history(proc_opts)
 
     gather_pos = jnp.stack([prompt_len - 1, sot_pos], axis=1)
     first_logits, cache0 = decoder_prefill(
-        params, config, prompt, prompt_len, xa, gather_pos, ctx=ctx
+        params, config, prompt, prompt_len, xa, gather_pos, ctx=ctx0
     )
     no_speech_prob = jax.nn.softmax(first_logits[:, 1], axis=-1)[:, meta.no_speech]
 
@@ -477,12 +493,12 @@ def beam_search(
     # position c for the chain currently owned by beam k.  Re-parenting
     # permutes this (B, K, ctx) int32 table instead of the (L, B, K, ctx, H,
     # D) cache itself — the physical cache is append-only per slot.
-    anc = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None], (b, K, ctx))
+    anc = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None], (b, K, ctx0))
 
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
-    hist_tok = jnp.zeros((b, ctx, K), jnp.int32)
-    hist_par = jnp.zeros((b, ctx, K), jnp.int32)
+    hist_tok = jnp.zeros((b, ctx0, K), jnp.int32)
+    hist_par = jnp.zeros((b, ctx0, K), jnp.int32)
     # carried rule scalars (see apply_logits_rules_logprobs_carried)
     last_tok = jnp.zeros((b, K), jnp.int32)
     penult_tok = jnp.zeros((b, K), jnp.int32)
@@ -490,9 +506,9 @@ def beam_search(
 
     # step-indexed eot-candidate buffers; merged into the (B, F) pool
     # once, after the loop (see the body's finished-pool comment)
-    eot_buf_score = jnp.full((b, ctx, 2 * K), NEG_INF, jnp.float32)
-    eot_buf_slot = jnp.zeros((b, ctx, 2 * K), jnp.int32)
-    len_buf = jnp.zeros((b, ctx), jnp.int32)
+    eot_buf_score = jnp.full((b, ctx0, 2 * K), NEG_INF, jnp.float32)
+    eot_buf_slot = jnp.zeros((b, ctx0, 2 * K), jnp.int32)
+    len_buf = jnp.zeros((b, ctx0), jnp.int32)
     nfin = jnp.zeros((b,), jnp.int32)
 
     # The loop cond reads a ONE-ITERATION-LAGGED done: the stopping vector
@@ -520,13 +536,15 @@ def beam_search(
          last_tok, penult_tok, ts_max, hist_tok, hist_par,
          eot_buf_score, eot_buf_slot, len_buf, nfin, step_i,
          done, _done_lag) = state
+        # current ladder rung's table size (== ctx on the final rung)
+        ctx_tab = hist_tok.shape[1]
 
         n_sampled = cur_len - prompt_len  # (B,)
         if needs_history:
             view = _tokens_view(hist_tok, anc)
             logprobs = apply_logits_rules_logprobs(
                 cur_logits.reshape(b * K, V),
-                view.reshape(b * K, ctx),
+                view.reshape(b * K, ctx_tab),
                 jnp.broadcast_to(cur_len[:, None], (b, K)).reshape(b * K),
                 jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(b * K),
                 meta,
@@ -566,12 +584,12 @@ def beam_search(
         eot_scores = jnp.where(eot_valid, norm_score, NEG_INF)
 
         hit_step = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, ctx, 1), 1) == step_i
+            jax.lax.broadcasted_iota(jnp.int32, (1, ctx_tab, 1), 1) == step_i
         ) & ~done[:, None, None]
         eot_buf_score = jnp.where(hit_step, eot_scores[:, None, :], eot_buf_score)
         eot_buf_slot = jnp.where(hit_step, cand_beam[:, None, :], eot_buf_slot)
         len_buf = jnp.where(
-            (jax.lax.broadcasted_iota(jnp.int32, (1, ctx), 1) == step_i)
+            (jax.lax.broadcasted_iota(jnp.int32, (1, ctx_tab), 1) == step_i)
             & ~done[:, None],
             cur_len[:, None], len_buf,
         )
@@ -589,9 +607,9 @@ def beam_search(
 
         # ---- record the step in the history tables ----
         parent = new_beam  # (B, K)
-        write_pos = jnp.clip(cur_len, 0, ctx - 1)  # (B,)
+        write_pos = jnp.clip(cur_len, 0, ctx_tab - 1)  # (B,)
         hit = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, ctx, 1), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (1, ctx_tab, 1), 1)
             == write_pos[:, None, None]
         ) & ~done[:, None, None]  # done rows must not corrupt history
         hist_tok = jnp.where(hit, new_tok[:, None, :], hist_tok)
@@ -671,12 +689,28 @@ def beam_search(
                 0, gen_opts.cond_chunk, lambda _, s: body(s), state
             )
 
+    # One while_loop per ladder rung.  A non-final rung additionally caps
+    # its step counter so every write stays inside its smaller table:
+    # cur_len <= prompt_width + step_i, so step_i < phase_ctx - p keeps
+    # write_pos < phase_ctx (requires cond_chunk == 1 — _ctx_phases
+    # disables the ladder otherwise).
+    for phase_i, phase_ctx in enumerate(phases):
+        if phase_i > 0:
+            state = _grow_ctx(state, phase_ctx, gen_opts.kv_int8)
+        if phase_i == len(phases) - 1:
+            phase_cond = cond
+        else:
+            step_cap = phase_ctx - p
+
+            def phase_cond(state, _cap=step_cap):
+                return jnp.any(~state[-1]) & (state[15] < _cap)
+
+        state = jax.lax.while_loop(phase_cond, loop_body, state)
+
     (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
      last_tok, penult_tok, ts_max, hist_tok, hist_par,
      eot_buf_score, eot_buf_slot, len_buf, nfin, _step_i,
-     done, _done_lag) = jax.lax.while_loop(
-        cond, loop_body, state
-    )
+     done, _done_lag) = state
 
     # One-shot pool merge over every recorded eot candidate.  Flat index
     # order is (step, candidate-rank) — the same tie-break order the
@@ -733,17 +767,21 @@ def sample(
     """
     K = gen_opts.beam_size
     b, p = prompt.shape
+    # Laddered ctx decode, as in beam_search: small KV tables early,
+    # ``ctx`` stays the full logical table for the length caps.
     ctx = min(gen_opts.ctx_cap, config.n_text_ctx)
+    phases = _ctx_phases(p, ctx, gen_opts)
+    ctx0 = phases[0]
     V = meta.vocab_size
     temp = gen_opts.sampling_temperature
 
     gather_pos = jnp.stack([prompt_len - 1, sot_pos], axis=1)
     first_logits, cache0 = decoder_prefill(
-        params, config, prompt, prompt_len, xa, gather_pos, ctx=ctx
+        params, config, prompt, prompt_len, xa, gather_pos, ctx=ctx0
     )
     no_speech_prob = jax.nn.softmax(first_logits[:, 1], axis=-1)[:, meta.no_speech]
 
-    tokens = jnp.zeros((b, K, ctx), jnp.int32)
+    tokens = jnp.zeros((b, K, ctx0), jnp.int32)
     tokens = tokens.at[:, :, :p].set(prompt[:, None, :])
     lens = jnp.broadcast_to(prompt_len[:, None], (b, K))
     sum_lp = jnp.zeros((b, K), jnp.float32)
@@ -761,9 +799,8 @@ def sample(
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
     # Identity ancestry: each sample attends only its own cache slot.
-    anc_id = jnp.broadcast_to(
-        jnp.arange(K, dtype=jnp.int32)[None, :, None], (b, K, ctx)
-    )
+    # (Rebuilt in the body from the carried table shape — one iota +
+    # broadcast, hoisted by XLA — so one body serves every ladder rung.)
 
     # Lagged loop cond (see beam_search): the active-beams predicate is
     # computed from each iteration's INPUT state and read by cond one
@@ -782,13 +819,14 @@ def sample(
     def body(state):
         (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
          last_tok, penult_tok, ts_max, key, _active_lag) = state
+        ctx_tab = tokens.shape[2]  # current ladder rung's table size
         cap = jnp.minimum(max_length, ctx)
         active_in = ~finished & (lens < cap)  # from inputs: ready at start
 
         if needs_history:
             logprobs = apply_logits_rules_logprobs(
                 cur_logits.reshape(b * K, V),
-                tokens.reshape(b * K, ctx),
+                tokens.reshape(b * K, ctx_tab),
                 lens.reshape(b * K),
                 jnp.broadcast_to(prompt_len[:, None], (b, K)).reshape(-1),
                 meta,
@@ -822,13 +860,13 @@ def sample(
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, :, None], axis=2)[:, :, 0]
         sum_lp = sum_lp + jnp.where(active_in, tok_lp, 0.0)
 
-        write_pos = jnp.clip(lens, 0, ctx - 1)  # position of the new token
+        write_pos = jnp.clip(lens, 0, ctx_tab - 1)  # position of the new token
         is_eot = next_tok == meta.eot
         # eot is recorded in the buffer but excluded from the length
         # masked-select column write (scatters serialize on TPU);
         # finished beams keep their buffer untouched
         hit = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1, ctx), 2)
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, ctx_tab), 2)
             == write_pos[:, :, None]
         )
         tokens = jnp.where(
@@ -852,6 +890,9 @@ def sample(
         # Active beams share one write position per row (they all advance
         # together); finished beams' slots receive ignored garbage at that
         # position on the fused path — their outputs are never read.
+        anc_id = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :, None], (b, K, ctx_tab)
+        )
         next_logits, self_k, self_v = _gen_decoder_step(
             params,
             config,
@@ -879,9 +920,23 @@ def sample(
             return jax.lax.fori_loop(
                 0, gen_opts.cond_chunk, lambda _, s: body(s), state
             )
-    tokens, lens, sum_lp, finished = jax.lax.while_loop(
-        cond, loop_body, state
-    )[:4]
+
+    # One while_loop per ladder rung (see beam_search).  A non-final rung
+    # exits once any sample's length reaches its table size: entering the
+    # body requires max(lens) < phase_ctx, so the write at clip(lens)
+    # stays inside the table.
+    for phase_i, phase_ctx in enumerate(phases):
+        if phase_i > 0:
+            state = _grow_ctx_sample(state, phase_ctx, gen_opts.kv_int8)
+        if phase_i == len(phases) - 1:
+            phase_cond = cond
+        else:
+            def phase_cond(state, _c=phase_ctx):
+                return jnp.any(state[-1]) & (jnp.max(state[1]) < _c)
+
+        state = jax.lax.while_loop(phase_cond, loop_body, state)
+
+    tokens, lens, sum_lp, finished = state[:4]
 
     return tokens, lens, sum_lp, finished, no_speech_prob
 
@@ -893,6 +948,92 @@ def sample(
 
 def _bucket(n: int, step: int = 32, cap: int = 448) -> int:
     return min(cap, max(step, -(-n // step) * step))
+
+
+@functools.lru_cache(maxsize=1)
+def _multi_phase_default() -> bool:
+    """Laddered ctx decode (GenOptions.multi_phase).  FWT_MULTI_PHASE=0
+    disables; default on."""
+    import os
+
+    return os.environ.get("FWT_MULTI_PHASE", "1") != "0"
+
+
+def _ctx_phases(prompt_width: int, ctx_full: int, gen_opts: "GenOptions"):
+    """KV-table sizes for the laddered ctx decode, ascending and ending at
+    ``ctx_full``: start at the smallest 64-step bucket holding the prompt
+    plus a decode step, double until the full table.  ``[ctx_full]`` (the
+    single-phase loop) when disabled, when the prompt already needs the
+    full table, under cond_chunk (the per-phase step cap must be checked
+    every iteration), or under the experimental megakernel (compiled for
+    one ctx)."""
+    if (
+        not gen_opts.multi_phase
+        or gen_opts.cond_chunk > 1
+        or gen_opts.mega_mode != "off"
+        or ctx_full <= 64
+    ):
+        return [ctx_full]
+    c = _bucket(prompt_width + 2, step=64, cap=ctx_full)
+    phases = []
+    while c < ctx_full and len(phases) < 3:
+        phases.append(c)
+        c = min(c * 2, ctx_full)
+    phases.append(ctx_full)
+    return phases
+
+
+def _grow_ctx(state, new_ctx: int, kv_int8: bool):
+    """Zero-pad every ctx-sized table in the beam-loop state from its
+    current phase size to ``new_ctx`` (ladder rung transition).  Pad
+    regions are never read before being written: self-attention and the
+    logits-rule chain mask positions >= cur_len, pad ancestry entries (0)
+    are valid-but-unread slot indices, and the eot-candidate buffer pads
+    with NEG_INF so the post-loop top_k ignores unwritten steps."""
+    (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
+     last_tok, penult_tok, ts_max, hist_tok, hist_par,
+     eot_buf_score, eot_buf_slot, len_buf, nfin, step_i,
+     done, done_lag) = state
+    grow = new_ctx - hist_tok.shape[1]
+
+    def pad(a, axis, value=0):
+        cfg = [(0, 0)] * a.ndim
+        cfg[axis] = (0, grow)
+        return jnp.pad(a, cfg, constant_values=value)
+
+    if kv_int8:
+        self_k = QuantKV(pad(self_k.q, 4), pad(self_k.s, 4))
+        self_v = QuantKV(pad(self_v.q, 4), pad(self_v.s, 4))
+    else:
+        self_k, self_v = pad(self_k, 4), pad(self_v, 4)
+    return (
+        cur_len, sum_lp, self_k, self_v, pad(anc, 2), cur_logits,
+        last_tok, penult_tok, ts_max, pad(hist_tok, 1), pad(hist_par, 1),
+        pad(eot_buf_score, 1, NEG_INF), pad(eot_buf_slot, 1),
+        pad(len_buf, 1), nfin, step_i, done, done_lag,
+    )
+
+
+def _grow_ctx_sample(state, new_ctx: int, kv_int8: bool):
+    """``_grow_ctx`` for the sampling loop's (smaller) carried state."""
+    (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
+     last_tok, penult_tok, ts_max, key, active_lag) = state
+    grow = new_ctx - tokens.shape[2]
+
+    def pad(a, axis):
+        cfg = [(0, 0)] * a.ndim
+        cfg[axis] = (0, grow)
+        return jnp.pad(a, cfg)
+
+    if kv_int8:
+        self_k = QuantKV(pad(self_k.q, 4), pad(self_k.s, 4))
+        self_v = QuantKV(pad(self_v.q, 4), pad(self_v.s, 4))
+    else:
+        self_k, self_v = pad(self_k, 4), pad(self_v, 4)
+    return (
+        pad(tokens, 2), lens, sum_lp, finished, self_k, self_v,
+        cur_logits, last_tok, penult_tok, ts_max, key, active_lag,
+    )
 
 
 @functools.lru_cache(maxsize=1)
@@ -1129,6 +1270,7 @@ def generate_dispatch(
             fused_attn=_fused_attn_default(),
             mega_mode=_mega_mode(),
             cond_chunk=_cond_chunk_default(),
+            multi_phase=_multi_phase_default(),
         )
         arrays = sample(
             params,
@@ -1162,6 +1304,7 @@ def generate_dispatch(
         fused_attn=_fused_attn_default(),
         mega_mode=_mega_mode(),
         cond_chunk=_cond_chunk_default(),
+        multi_phase=_multi_phase_default(),
     )
     arrays = beam_search(
         params,

@@ -501,3 +501,119 @@ def test_cond_chunk_parity(tiny_model, monkeypatch):
             np.asarray(got_s.scores), np.asarray(base_s.scores),
             rtol=1e-5, atol=1e-6,
         )
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_multi_phase_ctx_ladder_matches_single_phase(tiny_model, kv_int8):
+    """The laddered ctx decode (GenOptions.multi_phase: early steps on a
+    64-slot KV table, doubling to ctx_cap) must be output-identical to
+    the single-phase loop — attention and the rule chain mask positions
+    >= cur_len, so the table size is invisible to the math."""
+    from faster_whisper_tpu.generation.generate import (
+        GenOptions, _ctx_phases, beam_search,
+    )
+    from faster_whisper_tpu.generation.processors import ProcessorOptions
+
+    cfg, params, tok, meta, xa = tiny_model
+    proc = ProcessorOptions(
+        suppress_blank=True, suppress_tokens=(), with_timestamps=True,
+        max_initial_timestamp_index=50, repetition_penalty=1.0,
+        no_repeat_ngram_size=0,
+    )
+    prompt = list(tok.sot_sequence)
+    P = 32
+    pa = np.zeros((1, P), np.int32)
+    pa[:, : len(prompt)] = prompt
+    pl = np.full((1,), len(prompt), np.int32)
+    sp = np.full((1,), prompt.index(tok.sot), np.int32)
+
+    outs = {}
+    for mp in (False, True):
+        go = GenOptions(
+            beam_size=3, num_finished=3, ctx_cap=256,
+            kv_int8=kv_int8, multi_phase=mp,
+        )
+        assert _ctx_phases(P, 256, go) == ([64, 128, 256] if mp else [256])
+        outs[mp] = [
+            np.asarray(a)
+            for a in beam_search(
+                params, cfg, go, proc, meta, xa,
+                jnp.asarray(pa), jnp.asarray(pl), jnp.asarray(sp),
+                jnp.asarray(200, jnp.int32),
+            )
+        ]
+
+    cur_len = outs[False][5]
+    for name, a, b in zip(
+        ("hist_tok", "hist_par", "fin_slot", "fin_lens", "fin_scores",
+         "cur_len", "active_score", "no_speech_prob", "prompt_len"),
+        outs[False], outs[True],
+    ):
+        if name in ("hist_tok", "hist_par"):
+            # only written positions are defined; pads differ by design
+            for i in range(a.shape[0]):
+                np.testing.assert_array_equal(
+                    a[i, : cur_len[i]], b[i, : cur_len[i]], err_msg=name
+                )
+        elif a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_multi_phase_sampling_matches_single_phase(tiny_model, kv_int8):
+    """Sampling with a pinned rng key must be identical under the ctx
+    ladder — the categorical draws see the same distributions step for
+    step, so the phase boundaries are invisible."""
+    from faster_whisper_tpu.generation.generate import (
+        GenOptions, _ctx_phases, sample,
+    )
+    from faster_whisper_tpu.generation.processors import ProcessorOptions
+
+    cfg, params, tok, meta, xa = tiny_model
+    proc = ProcessorOptions(
+        suppress_blank=True, suppress_tokens=(), with_timestamps=True,
+        max_initial_timestamp_index=50, repetition_penalty=1.0,
+        no_repeat_ngram_size=0,
+    )
+    prompt = list(tok.sot_sequence)
+    P = 32
+    pa = np.zeros((1, P), np.int32)
+    pa[:, : len(prompt)] = prompt
+    pl = np.full((1,), len(prompt), np.int32)
+    sp = np.full((1,), prompt.index(tok.sot), np.int32)
+
+    outs = {}
+    for mp in (False, True):
+        go = GenOptions(
+            beam_size=2, num_finished=2, sampling=True,
+            sampling_temperature=0.8, ctx_cap=256,
+            kv_int8=kv_int8, multi_phase=mp,
+        )
+        assert _ctx_phases(P, 256, go) == ([64, 128, 256] if mp else [256])
+        outs[mp] = [
+            np.asarray(a)
+            for a in sample(
+                params, cfg, go, proc, meta, xa,
+                jnp.asarray(pa), jnp.asarray(pl), jnp.asarray(sp),
+                jnp.asarray(200, jnp.int32), jax.random.PRNGKey(7),
+            )
+        ]
+
+    lens = outs[False][1]
+    for name, a, b in zip(
+        ("tokens", "lens", "cum_logprob", "eot_seen", "no_speech_prob"),
+        outs[False], outs[True],
+    ):
+        if name == "tokens":
+            for i in range(a.shape[0]):
+                for k in range(a.shape[1]):
+                    np.testing.assert_array_equal(
+                        a[i, k, : lens[i, k]], b[i, k, : lens[i, k]],
+                        err_msg=name,
+                    )
+        elif a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
