@@ -1,0 +1,202 @@
+"""Cold-start anatomy: line-item breakdown of process-exec -> first segment.
+
+Round 3 recorded 94.4 s from process exec to the first transcribed segment
+WITH a warm persistent compilation cache (bench.py cold-start row), far
+over the <30 s deployment target, and nothing in the tree said where the
+time went.  This profiler answers that: it re-runs the exact cold-start
+workload (large-v3 int8, 30 s audio, batch=8 beam=5, 128 tok bucket) in a
+fresh process and stamps every phase:
+
+  boot           interpreter start -> __main__ (sitecustomize imports jax
+                 on TPU-tunnel images, so this includes the jax import)
+  device_enum    jax.devices() (client/topology handshake)
+  first_dispatch first trivial computation (tiny add): data-plane session
+                 establishment + first program compile/load round-trip
+  second_dispatch a second tiny program, fresh compile: the marginal
+                 per-program cost once the session is up
+  model_build    random large-v3 params staged on device + int8 quantize
+  vad/mel/encode/decode  per-program cache-load + first-execute, via the
+                 production pipeline phases
+  first_segment  remaining pipeline work to the first yielded Segment
+
+plus persistent-cache entry counts before/after (0 new entries == every
+program was a cache hit, i.e. the time is load/infra, not compilation).
+
+The reference has no equivalent phase: a CTranslate2 user pays seconds of
+model load (reference faster_whisper/transcribe.py:689-698) because CT2
+ships precompiled kernels.  On a tunneled axon TPU the floor is set by the
+remote session establishment measured here as first_dispatch.
+
+Usage:  python benchmarks/profile_coldstart.py          # child + report
+        _FWT_COLDSTART_CHILD=1 python benchmarks/profile_coldstart.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _proc_start_time() -> float:
+    """This process's exec timestamp (seconds since epoch), from /proc."""
+    try:
+        with open(f"/proc/{os.getpid()}/stat") as f:
+            fields = f.read().split()
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        hz = os.sysconf("SC_CLK_TCK")
+        start_ticks = int(fields[21])
+        boot_epoch = time.time() - uptime
+        return boot_epoch + start_ticks / hz
+    except Exception:
+        return time.time()
+
+
+def child() -> None:
+    t_exec = _proc_start_time()
+    t_main = time.time()
+    phases = [("boot", t_main - t_exec)]
+
+    def phase(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        phases.append((name, time.perf_counter() - t0))
+        return out
+
+    from faster_whisper_tpu.utils import (
+        enable_compilation_cache,
+        ensure_tpu_accelerator_type,
+    )
+
+    ensure_tpu_accelerator_type()
+
+    import jax
+
+    enable_compilation_cache()
+    cache_dir = jax.config.jax_compilation_cache_dir
+
+    def count_cache():
+        if not cache_dir or not os.path.isdir(cache_dir):
+            return 0
+        return sum(len(fs) for _, _, fs in os.walk(cache_dir))
+
+    n_cache0 = count_cache()
+
+    import jax.numpy as jnp
+
+    phase("device_enum", jax.devices)
+    phase("first_dispatch", lambda: float(jnp.add(1.0, 2.0)))
+    phase(
+        "second_dispatch",
+        lambda: float(jnp.sum(jnp.ones((8, 128), jnp.float32) * 3)),
+    )
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    model = phase(
+        "model_build",
+        lambda: bench.build_model(
+            os.environ.get("BENCH_MODEL", "large-v3"),
+            os.environ.get("BENCH_COMPUTE", "int8"),
+        ),
+    )
+    audio = bench.load_audio_13min()[: 16000 * 30]
+
+    # Pipeline phases, in production order, each a separate timer.  These
+    # call the same code transcribe() calls, so the programs loaded here
+    # are exactly the first-request set.
+    import numpy as np
+
+    from faster_whisper_tpu.vad import VadOptions, get_speech_timestamps
+
+    phase(
+        "vad_program",
+        lambda: get_speech_timestamps(audio, VadOptions()),
+    )
+    feats = phase(
+        "mel_program",
+        lambda: np.asarray(model.feature_extractor(audio)),
+    )
+    xa = phase(
+        "encode_program",
+        lambda: model.model.encode(
+            np.ascontiguousarray(feats[:, :3000])[None]
+        ),
+    )
+
+    prompt = []
+    tok = model.hf_tokenizer
+    for name in ("<|startoftranscript|>", "<|en|>", "<|transcribe|>"):
+        t = tok.token_to_id(name)
+        if t is not None:
+            prompt.append(t)
+
+    phase(
+        "decode_program",
+        lambda: model.model.generate(
+            xa,
+            [prompt],
+            beam_size=5,
+            max_length=len(prompt) + 128,
+            return_scores=True,
+            return_no_speech_prob=True,
+            suppress_blank=True,
+            suppress_tokens=(),
+        ),
+    )
+
+    def first_segment():
+        from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+        segs, _ = BatchedInferencePipeline(model).transcribe(
+            audio,
+            language="en",
+            beam_size=5,
+            batch_size=8,
+            max_new_tokens=128,
+            temperature=[0.0],
+        )
+        return next(iter(segs), None)
+
+    phase("first_segment", first_segment)
+
+    report = {
+        "total_exec_to_first_segment_s": round(time.time() - t_exec, 1),
+        "phases_s": {k: round(v, 2) for k, v in phases},
+        "cache_entries_before": n_cache0,
+        "new_cache_entries": count_cache() - n_cache0,
+        "cache_dir": cache_dir,
+    }
+    print("COLDSTART_REPORT=" + json.dumps(report))
+
+
+def main() -> int:
+    if os.environ.get("_FWT_COLDSTART_CHILD") == "1":
+        child()
+        return 0
+    env = dict(os.environ)
+    env["_FWT_COLDSTART_CHILD"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    sys.stderr.write(proc.stderr[-4000:])
+    for line in proc.stdout.splitlines():
+        if line.startswith("COLDSTART_REPORT="):
+            report = json.loads(line.split("=", 1)[1])
+            print(json.dumps(report, indent=2))
+            return 0
+    print("child produced no report", file=sys.stderr)
+    sys.stdout.write(proc.stdout[-2000:])
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

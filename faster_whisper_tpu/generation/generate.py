@@ -83,7 +83,10 @@ class GenOptions:
     sampling_topk: int = 0  # 0 = unrestricted
     # Static cache/buffer length: a bucketed bound on max_length.  Sizing
     # the KV cache by the actual decode budget instead of the model's full
-    # 448 context cuts the dominant HBM allocation proportionally.
+    # 448 context cuts the dominant HBM allocation proportionally.  With
+    # fused_attn the Pallas kernel windows writes in 8-slot sublanes, so
+    # ctx_cap should be a multiple of 8 (dispatch buckets to 64; unaligned
+    # values additionally disable the ctx ladder — see _ctx_phases).
     ctx_cap: int = 448
     # int8 K/V caches (self + cross) with per-(position, head) scales:
     # halves the decode loop's dominant HBM term.  Enabled for int8
@@ -115,8 +118,9 @@ class GenOptions:
     # rung is its own lax.while_loop inside one jitted program; carried
     # state is zero-padded between rungs (_grow_ctx).  Output-identical
     # to the single-phase loop: attention and the rule chain mask every
-    # position >= cur_len.  Set from FWT_MULTI_PHASE (default on).
-    multi_phase: bool = False
+    # position >= cur_len.  Default on; generate_dispatch additionally
+    # honors FWT_MULTI_PHASE=0 to disable (see _multi_phase_default).
+    multi_phase: bool = True
 
 
 class WhisperGenerationResult:
@@ -526,10 +530,10 @@ def beam_search(
         # containing convergence (the lagged read would always run one
         # full extra chunk).
         def cond(state):
-            return jnp.any(~state[-2])  # state[-2] = current done
+            return jnp.any(~state[_BEAM_DONE])
     else:
         def cond(state):
-            return jnp.any(~state[-1])  # state[-1] = lagged done
+            return jnp.any(~state[_BEAM_DONE_LAG])
 
     def body(state):
         (cur_len, sum_lp, self_k, self_v, anc, cur_logits,
@@ -703,7 +707,9 @@ def beam_search(
             step_cap = phase_ctx - p
 
             def phase_cond(state, _cap=step_cap):
-                return jnp.any(~state[-1]) & (state[15] < _cap)
+                return jnp.any(~state[_BEAM_DONE_LAG]) & (
+                    state[_BEAM_STEP_I] < _cap
+                )
 
         state = jax.lax.while_loop(phase_cond, loop_body, state)
 
@@ -810,11 +816,12 @@ def sample(
         # chunked: per-chunk cond stall is amortized; read true activity
         def cond(state):
             return jnp.any(
-                ~state[3] & (state[1] < jnp.minimum(max_length, ctx))
+                ~state[_SAMPLE_FINISHED]
+                & (state[_SAMPLE_LENS] < jnp.minimum(max_length, ctx))
             )
     else:
         def cond(state):
-            return jnp.any(state[-1])
+            return jnp.any(state[_SAMPLE_ACTIVE_LAG])
 
     def body(state):
         (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
@@ -932,7 +939,9 @@ def sample(
             phase_cond = cond
         else:
             def phase_cond(state, _c=phase_ctx):
-                return jnp.any(state[-1]) & (jnp.max(state[1]) < _c)
+                return jnp.any(state[_SAMPLE_ACTIVE_LAG]) & (
+                    jnp.max(state[_SAMPLE_LENS]) < _c
+                )
 
         state = jax.lax.while_loop(phase_cond, loop_body, state)
 
@@ -948,6 +957,18 @@ def sample(
 
 def _bucket(n: int, step: int = 32, cap: int = 448) -> int:
     return min(cap, max(step, -(-n // step) * step))
+
+
+# Carried-state tuple indices read by the loop/rung conds below.  The
+# loop bodies unpack the tuples positionally, so any reorder must update
+# these together with the pack/unpack sites (the conds are the only
+# by-index readers).
+_BEAM_STEP_I = 15     # beam_search state: step counter
+_BEAM_DONE = -2       # beam_search state: current done vector
+_BEAM_DONE_LAG = -1   # beam_search state: one-iteration-lagged done
+_SAMPLE_LENS = 1      # sample state: per-beam lengths
+_SAMPLE_FINISHED = 3  # sample state: finished mask
+_SAMPLE_ACTIVE_LAG = -1  # sample state: lagged active mask
 
 
 @functools.lru_cache(maxsize=1)
@@ -972,6 +993,12 @@ def _ctx_phases(prompt_width: int, ctx_full: int, gen_opts: "GenOptions"):
         or gen_opts.cond_chunk > 1
         or gen_opts.mega_mode != "off"
         or ctx_full <= 64
+        # The fused Pallas append+attend kernel windows its writes in
+        # 8-slot sublanes, so every rung's table size must be 8-aligned;
+        # dispatch buckets ctx_cap to 64 so this holds there, but direct
+        # GenOptions users may pass an unaligned ctx_cap — fall back to
+        # the single-phase loop rather than mis-window rung transitions.
+        or (gen_opts.fused_attn and ctx_full % 8 != 0)
     ):
         return [ctx_full]
     c = _bucket(prompt_width + 2, step=64, cap=ctx_full)

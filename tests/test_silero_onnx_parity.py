@@ -202,3 +202,37 @@ def test_onnx_graph_state_chunking_is_equivalent(test_audio):
         [first["speech_probs"].reshape(-1), second["speech_probs"].reshape(-1)]
     )
     np.testing.assert_allclose(one["speech_probs"].reshape(-1), chunked, atol=1e-6)
+
+
+def test_jax_silero_matches_onnxruntime(test_audio):
+    """Auto-runs whenever onnxruntime is importable (it is not in the
+    hermetic build image): the JAX port vs ORT's own kernels executing
+    the bundled graph — the exact engine the reference uses
+    (faster_whisper/vad.py:296-351).  Complements the numpy-interpreter
+    tests above with the real runtime."""
+    ort = pytest.importorskip("onnxruntime")
+
+    from faster_whisper_tpu.models.silero import SileroVAD
+
+    opts = ort.SessionOptions()
+    opts.inter_op_num_threads = 1
+    opts.intra_op_num_threads = 1
+    opts.log_severity_level = 4
+    session = ort.InferenceSession(
+        default_silero_path(),
+        providers=["CPUExecutionProvider"],
+        sess_options=opts,
+    )
+    windows = _windows_576(test_audio)
+    ref = session.run(
+        None,
+        {
+            "input": windows,
+            "h": np.zeros((1, 1, 128), np.float32),
+            "c": np.zeros((1, 1, 128), np.float32),
+        },
+    )[0].reshape(-1)
+
+    ours = SileroVAD()(test_audio)
+    assert ref.shape == ours.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4)

@@ -332,14 +332,14 @@ def test_supported_languages(model):
 # ---------------------------------------------------------------------------
 
 
-def test_device_index_list_shards_batch(model, jfk_path):
+def test_device_index_list_shards_batch(model, jfk_path, virtual_mesh):
     """device_index=[0..7] (the reference's multi-GPU form,
     transcribe.py:646-657) must map to a data-parallel mesh and produce
     the same transcription as the single-device model."""
     import jax
 
-    if len(jax.devices()) < 2:
-        pytest.skip("needs the virtual multi-device mesh")
+    if not virtual_mesh(2):
+        return
 
     sharded = WhisperModel.from_parts(
         model.model.params,
@@ -428,14 +428,12 @@ def test_vad_options_echoed_in_info(model, jfk_path):
     assert info.vad_options.speech_pad_ms == 200
 
 
-def test_tensor_parallel_production_path(model, jfk_path):
+def test_tensor_parallel_production_path(model, jfk_path, virtual_mesh):
     """tensor_parallel=2 on a 4x2 data x model mesh must produce the same
     transcription as the single-device model (Megatron layouts from
     parallel/mesh.py, XLA-inserted collectives)."""
-    import jax
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the virtual multi-device mesh")
+    if not virtual_mesh(8):
+        return
 
     sharded = WhisperModel.from_parts(
         model.model.params,
@@ -454,11 +452,9 @@ def test_tensor_parallel_production_path(model, jfk_path):
     assert [s.text for s in sh_segs] == [s.text for s in ref_segs]
 
 
-def test_tensor_parallel_validates_divisibility(model):
-    import jax
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the virtual multi-device mesh")
+def test_tensor_parallel_validates_divisibility(model, virtual_mesh):
+    if not virtual_mesh(8):
+        return
 
     with pytest.raises(ValueError, match="tensor_parallel"):
         WhisperModel.from_parts(
@@ -471,13 +467,11 @@ def test_tensor_parallel_validates_divisibility(model):
         )
 
 
-def test_tensor_parallel_int8_params_shard(model, jfk_path):
+def test_tensor_parallel_int8_params_shard(model, jfk_path, virtual_mesh):
     """int8 trees (QuantizedLinear leaves + the logits head) must shard
     without structural errors and still transcribe."""
-    import jax
-
-    if len(jax.devices()) < 4:
-        pytest.skip("needs the virtual multi-device mesh")
+    if not virtual_mesh(4):
+        return
 
     sharded = WhisperModel.from_parts(
         model.model.params,
