@@ -105,12 +105,18 @@ def extra_rows(model, batch_size, beam_size):
     1. speech-shaped synthetic audio — harmonic bursts with pauses, so
        the Silero VAD's segmentation is non-trivial instead of one
        wall-to-wall chunk per 30 s (the jfk tiling is continuous speech);
-    2. the sequential path with the FULL temperature fallback ladder
-       enabled, so the ladder's compile/step cost is measured when the
-       compression-ratio/logprob checks fire on random-weight text;
-    3. fresh-process cold start with a warm persistent cache: time from
-       process exec to the first transcribed segment (the deployment
-       number precompile exists to bound).
+    2. the batched word-timestamps configuration (decode + align pass,
+       1-deep pipelining active);
+    3. the sequential path with the FULL temperature fallback ladder,
+       run twice: cold (first-touch rung JIT in this process) AND warm —
+       the warm number is what a precompiled deployment pays;
+    4. peak-HBM accounting from XLA's memory_analysis on the exact
+       headline programs (the reference publishes VRAM per row,
+       README.md:27-30; axon exposes no device.memory_stats);
+    5. serving concurrency: N concurrent HTTP clients against the
+       in-process server, ContinuousBatcher vs --no-batcher aggregate;
+    6. fresh-process cold start with a warm persistent cache: line-item
+       breakdown from benchmarks/profile_coldstart.py.
     """
     import subprocess
 
@@ -118,61 +124,211 @@ def extra_rows(model, batch_size, beam_size):
 
     rows = {}
 
-    speech = synthetic_speech(13 * 60.0, seed=7)
-    t = min(
-        run_once(model, speech, batch_size, beam_size, max_new_tokens=160)
-        for _ in range(2)
-    )
-    rows["13min speech-shaped batched, 160 tok/chunk"] = round(t, 2)
+    def guard(name, fn):
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 — tail rows must not kill bench
+            rows[f"{name} row failed"] = repr(exc)
 
-    ladder = None
-    try:
-        audio = load_audio_13min()[: 95 * 16000]
-        t0 = time.perf_counter()
-        segs, _ = model.transcribe(
-            audio,
-            language="en",
-            beam_size=beam_size,
-            max_new_tokens=128,
-            # the reference's default ladder: rungs fire whenever the
-            # CR/logprob checks reject the T=0 decode
-            temperature=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+    def speech_row():
+        speech = synthetic_speech(13 * 60.0, seed=7)
+        t = min(
+            run_once(model, speech, batch_size, beam_size, max_new_tokens=160)
+            for _ in range(2)
         )
-        n = sum(1 for _ in segs)
-        ladder = round(time.perf_counter() - t0, 2)
-        rows[f"sequential 95s, full fallback ladder ({n} segs)"] = ladder
-    except Exception as exc:  # noqa: BLE001 — tail rows must not kill bench
-        rows["sequential ladder row failed"] = repr(exc)
+        rows["13min speech-shaped batched, 160 tok/chunk"] = round(t, 2)
+
+    guard("speech-shaped", speech_row)
+
+    def word_ts_row():
+        from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+        audio = load_audio_13min()
+        pipeline = BatchedInferencePipeline(model)
+
+        def once():
+            t0 = time.perf_counter()
+            segs, _ = pipeline.transcribe(
+                audio,
+                language="en",
+                beam_size=beam_size,
+                batch_size=batch_size,
+                max_new_tokens=128,
+                temperature=[0.0],
+                word_timestamps=True,
+            )
+            # random weights may align to zero words; the row measures
+            # the decode+align pipeline cost, not transcript quality
+            sum(len(s.words or ()) for s in segs)
+            return time.perf_counter() - t0
+
+        once()  # align-program compile/load
+        t = min(once() for _ in range(2))
+        rows["13min batched + word_timestamps (decode+align)"] = round(t, 2)
+
+    guard("word-timestamps", word_ts_row)
+
+    def ladder_rows():
+        audio = load_audio_13min()[: 95 * 16000]
+
+        def once():
+            t0 = time.perf_counter()
+            segs, _ = model.transcribe(
+                audio,
+                language="en",
+                beam_size=beam_size,
+                max_new_tokens=128,
+                # the reference's default ladder: rungs fire whenever the
+                # CR/logprob checks reject the T=0 decode
+                temperature=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+            )
+            n = sum(1 for _ in segs)
+            return time.perf_counter() - t0, n
+
+        cold, n = once()
+        warm, _ = once()
+        rows[f"sequential 95s, full fallback ladder ({n} segs), cold"] = round(
+            cold, 2
+        )
+        rows["sequential 95s, full fallback ladder, warm"] = round(warm, 2)
+
+    guard("sequential ladder", ladder_rows)
+
+    def memory_row():
+        rep = model.model.memory_report(
+            batch_size=batch_size, beam_size=beam_size, max_new_tokens=128
+        )
+        gb = 1024.0 ** 3
+        rows["weights HBM GB"] = round(rep["weights_bytes"] / gb, 2)
+        for name in ("encode", "decode"):
+            r = rep[name]
+            if r is None:
+                rows[f"{name} program HBM"] = "memory_analysis unavailable"
+            else:
+                rows[f"{name} program peak HBM GB (args+temps+out)"] = round(
+                    r["peak_bytes"] / gb, 2
+                )
+                rows[f"{name} program temp HBM GB"] = round(
+                    r["temp_bytes"] / gb, 2
+                )
+
+    guard("memory", memory_row)
+
+    def turbo_row():
+        # large-v3-turbo: the registry's 4-layer-decoder speed variant
+        # (reference faster_whisper/utils.py:11-31 ships it; only
+        # large-v3/distil had recorded numbers before round 4).
+        m2 = build_model("turbo", os.environ.get("BENCH_COMPUTE", "int8"))
+        audio = load_audio_13min()
+        run_once(m2, audio, batch_size, beam_size)  # compile/load warmup
+        t = min(
+            run_once(m2, audio, batch_size, beam_size) for _ in range(2)
+        )
+        rows["13min batched, turbo int8"] = round(t, 2)
+
+    if os.environ.get("BENCH_TURBO_ROW", "1") != "0":
+        guard("turbo", turbo_row)
+
+    def serving_row():
+        import io
+        import threading
+        import urllib.request
+        import wave
+
+        from faster_whisper_tpu.server import make_server
+
+        # 8 short requests (30 s each): the serving shape where merging
+        # concurrent clients' chunks into shared device batches wins —
+        # a lone 30 s request decodes at B=1.
+        speech = synthetic_speech(30.0, seed=11)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(
+                (np.clip(speech, -1, 1) * 32767).astype(np.int16).tobytes()
+            )
+        payload = buf.getvalue()
+        n_clients = int(os.environ.get("BENCH_CLIENTS", "8"))
+
+        def run_clients(batched):
+            server = make_server(model, port=0, batched=batched)
+            port = server.server_port
+            thread = threading.Thread(target=server.serve_forever, daemon=True)
+            thread.start()
+            url = (
+                f"http://127.0.0.1:{port}/v1/audio/transcriptions"
+                f"?language=en&beam_size={beam_size}&max_new_tokens=128"
+                f"&temperature=0&batch_size={batch_size if batched else 0}"
+            )
+            errors = []
+
+            def client():
+                req = urllib.request.Request(
+                    url, data=payload,
+                    headers={"Content-Type": "audio/wav"},
+                )
+                with urllib.request.urlopen(req, timeout=600) as resp:
+                    if resp.status != 200:
+                        errors.append(resp.status)
+                    resp.read()
+
+            client()  # warm the server path once
+            threads = [
+                threading.Thread(target=client) for _ in range(n_clients)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            server.shutdown()
+            server.service.close()
+            server.server_close()
+            assert not errors, errors
+            return dt
+
+        with_b = run_clients(batched=True)
+        without = run_clients(batched=False)
+        audio_s = 30.0 * n_clients
+        rows[f"serving {n_clients}x30s concurrent, ContinuousBatcher"] = round(
+            with_b, 2
+        )
+        rows[f"serving {n_clients}x30s, --no-batcher (serialized)"] = round(
+            without, 2
+        )
+        rows["serving aggregate speedup (batcher/no-batcher)"] = round(
+            without / with_b, 2
+        )
+        rows["serving aggregate RTFx (batcher)"] = round(audio_s / with_b, 1)
+
+    guard("serving concurrency", serving_row)
 
     if os.environ.get("BENCH_COLDSTART", "1") != "0":
-        code = (
-            "import time; t0=time.time();"
-            "from faster_whisper_tpu.utils import ensure_tpu_accelerator_type;"
-            "ensure_tpu_accelerator_type();"
-            "import bench, os;"
-            "m = bench.build_model(os.environ.get('BENCH_MODEL', 'large-v3'),"
-            " os.environ.get('BENCH_COMPUTE', 'int8'));"
-            "a = bench.load_audio_13min()[:16000*30];"
-            "from faster_whisper_tpu.transcribe import BatchedInferencePipeline;"
-            "segs,_ = BatchedInferencePipeline(m).transcribe("
-            "a, language='en', beam_size=5, batch_size=8,"
-            " max_new_tokens=128, temperature=[0.0]);"
-            "next(iter(segs), None);"
-            "print('FIRST_SEGMENT_S=%.1f' % (time.time()-t0))"
-        )
-        try:
+
+        def coldstart_row():
             proc = subprocess.run(
-                [sys.executable, "-c", code],
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks",
+                        "profile_coldstart.py",
+                    ),
+                ],
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 capture_output=True, text=True, timeout=1800,
             )
-            for line in proc.stdout.splitlines():
-                if line.startswith("FIRST_SEGMENT_S="):
-                    rows["cold start to first segment (warm cache)"] = float(
-                        line.split("=")[1]
-                    )
-        except Exception as exc:  # noqa: BLE001
-            rows["cold start row failed"] = repr(exc)
+            report = json.loads(proc.stdout)
+            rows["cold start to first segment (warm cache), s"] = report[
+                "total_exec_to_first_segment_s"
+            ]
+            rows["cold start phases, s"] = report["phases_s"]
+            rows["cold start new cache entries"] = report["new_cache_entries"]
+
+        guard("cold start", coldstart_row)
 
     print("# extra_rows: " + json.dumps(rows), file=sys.stderr)
 

@@ -1,34 +1,40 @@
 """Cold-start anatomy: line-item breakdown of process-exec -> first segment.
 
 Round 3 recorded 94.4 s from process exec to the first transcribed segment
-WITH a warm persistent compilation cache (bench.py cold-start row), far
-over the <30 s deployment target, and nothing in the tree said where the
-time went.  This profiler answers that: it re-runs the exact cold-start
-workload (large-v3 int8, 30 s audio, batch=8 beam=5, 128 tok bucket) in a
-fresh process and stamps every phase:
+WITH a warm persistent compilation cache, far over the <30 s deployment
+target, and nothing in the tree said where the time went.  This profiler
+answers that: it re-runs the exact cold-start workload (large-v3 int8,
+30 s audio, batch=8 beam=5, 128-token bucket) in a fresh process and
+stamps every phase:
 
-  boot           interpreter start -> __main__ (sitecustomize imports jax
-                 on TPU-tunnel images, so this includes the jax import)
-  device_enum    jax.devices() (client/topology handshake)
-  first_dispatch first trivial computation (tiny add): data-plane session
-                 establishment + first program compile/load round-trip
-  second_dispatch a second tiny program, fresh compile: the marginal
-                 per-program cost once the session is up
-  model_build    random large-v3 params staged on device + int8 quantize
-  vad/mel/encode/decode  per-program cache-load + first-execute, via the
-                 production pipeline phases
-  first_segment  remaining pipeline work to the first yielded Segment
+  boot            interpreter start -> __main__ (sitecustomize imports jax
+                  on TPU-tunnel images, so this includes the jax import)
+  device_enum     jax.devices() (client/topology handshake)
+  first_dispatch  first trivial computation (tiny add): data-plane session
+                  establishment + first program round-trip.  Measured 8-84 s
+                  on the tunneled axon relay depending on pool load — pure
+                  environment, the framework never touches it.
+  second_dispatch a second tiny program: the marginal per-program cost
+                  once the session is up (~0.4 s through the relay)
+  model_build     random large-v3 params staged on device + the one-program
+                  int8 quantize (ops/quant.py quantize_params)
+  audio_decode    host-side FLAC decode + tiling (no device)
+  first_segment   the production batched pipeline to the first yielded
+                  Segment: VAD + chunked mel + encode + beam programs all
+                  load from the persistent cache here (their loads are the
+                  phase's content; a beam-program cache MISS instead costs
+                  ~35 s of XLA compile)
 
 plus persistent-cache entry counts before/after (0 new entries == every
 program was a cache hit, i.e. the time is load/infra, not compilation).
 
-The reference has no equivalent phase: a CTranslate2 user pays seconds of
-model load (reference faster_whisper/transcribe.py:689-698) because CT2
-ships precompiled kernels.  On a tunneled axon TPU the floor is set by the
-remote session establishment measured here as first_dispatch.
+The reference has no such phase: a CTranslate2 user pays seconds of model
+load (reference faster_whisper/transcribe.py:689-698) because CT2 ships
+precompiled kernels.  The equivalent here is `python -m
+faster_whisper_tpu.precompile` once per image/cache, after which this
+profiler reports the numbers a deployment actually pays.
 
 Usage:  python benchmarks/profile_coldstart.py          # child + report
-        _FWT_COLDSTART_CHILD=1 python benchmarks/profile_coldstart.py
 """
 
 import json
@@ -94,7 +100,6 @@ def child() -> None:
         lambda: float(jnp.sum(jnp.ones((8, 128), jnp.float32) * 3)),
     )
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
     model = phase(
@@ -104,49 +109,8 @@ def child() -> None:
             os.environ.get("BENCH_COMPUTE", "int8"),
         ),
     )
-    audio = bench.load_audio_13min()[: 16000 * 30]
-
-    # Pipeline phases, in production order, each a separate timer.  These
-    # call the same code transcribe() calls, so the programs loaded here
-    # are exactly the first-request set.
-    import numpy as np
-
-    from faster_whisper_tpu.vad import VadOptions, get_speech_timestamps
-
-    phase(
-        "vad_program",
-        lambda: get_speech_timestamps(audio, VadOptions()),
-    )
-    feats = phase(
-        "mel_program",
-        lambda: np.asarray(model.feature_extractor(audio)),
-    )
-    xa = phase(
-        "encode_program",
-        lambda: model.model.encode(
-            np.ascontiguousarray(feats[:, :3000])[None]
-        ),
-    )
-
-    prompt = []
-    tok = model.hf_tokenizer
-    for name in ("<|startoftranscript|>", "<|en|>", "<|transcribe|>"):
-        t = tok.token_to_id(name)
-        if t is not None:
-            prompt.append(t)
-
-    phase(
-        "decode_program",
-        lambda: model.model.generate(
-            xa,
-            [prompt],
-            beam_size=5,
-            max_length=len(prompt) + 128,
-            return_scores=True,
-            return_no_speech_prob=True,
-            suppress_blank=True,
-            suppress_tokens=(),
-        ),
+    audio = phase(
+        "audio_decode", lambda: bench.load_audio_13min()[: 16000 * 30]
     )
 
     def first_segment():
@@ -191,7 +155,7 @@ def main() -> int:
     for line in proc.stdout.splitlines():
         if line.startswith("COLDSTART_REPORT="):
             report = json.loads(line.split("=", 1)[1])
-            print(json.dumps(report, indent=2))
+            print(json.dumps(report))
             return 0
     print("child produced no report", file=sys.stderr)
     sys.stdout.write(proc.stdout[-2000:])

@@ -1249,9 +1249,17 @@ def generate_dispatch(
     with_timestamps: bool = True,
     rng_seed: Optional[int] = None,
     kv_int8: bool = False,
+    dry_lower: bool = False,
 ) -> PendingGeneration:
     """Enqueue a generation on the device and return immediately (JAX
-    async dispatch); ``generate_collect`` blocks and unpacks."""
+    async dispatch); ``generate_collect`` blocks and unpacks.
+
+    With ``dry_lower`` the exact program this call would run is lowered
+    (AOT, nothing executes) and the ``jax.stages.Lowered`` is returned
+    instead — the hook for ``compile().memory_analysis()`` peak-HBM
+    reporting (the reference publishes memory next to every speed row,
+    reference README.md:27-30; axon's ``device.memory_stats()`` is
+    unavailable so static XLA analysis is the honest substitute)."""
     b = len(prompts)
     assert encoder_output.shape[0] == b
 
@@ -1299,7 +1307,7 @@ def generate_dispatch(
             cond_chunk=_cond_chunk_default(),
             multi_phase=_multi_phase_default(),
         )
-        arrays = sample(
+        arrays = (sample.lower if dry_lower else sample)(
             params,
             config,
             gen_opts,
@@ -1319,6 +1327,8 @@ def generate_dispatch(
                 else rng_seed
             ),
         )
+        if dry_lower:
+            return arrays  # jax.stages.Lowered
         return PendingGeneration("sample", arrays, prompt_lens, length_penalty)
 
     gen_opts = GenOptions(
@@ -1333,7 +1343,7 @@ def generate_dispatch(
         cond_chunk=_cond_chunk_default(),
         multi_phase=_multi_phase_default(),
     )
-    arrays = beam_search(
+    arrays = (beam_search.lower if dry_lower else beam_search)(
         params,
         config,
         gen_opts,
@@ -1345,6 +1355,8 @@ def generate_dispatch(
         jnp.asarray(sot_pos),
         jnp.asarray(max_length, dtype=jnp.int32),
     )
+    if dry_lower:
+        return arrays  # jax.stages.Lowered
     return PendingGeneration("beam", arrays, prompt_lens, length_penalty)
 
 

@@ -381,6 +381,79 @@ class WhisperEngine:
         """Blocking half of generate_dispatch."""
         return generate_collect(pending)
 
+    def memory_report(
+        self,
+        batch_size: int = 8,
+        beam_size: int = 5,
+        max_new_tokens: int = 128,
+        prompt_len: int = 4,
+        sampling_temperature: float = 0.0,
+    ) -> dict:
+        """Peak-HBM accounting for the engine's two big programs (encode +
+        the decode loop) at the given shapes, via XLA's static
+        ``memory_analysis`` on the exact compiled executables — nothing
+        executes.  The reference publishes memory next to every speed row
+        (reference README.md:27-30, benchmark/memory_benchmark.py:28-93);
+        tunneled TPU backends return no ``device.memory_stats()``, so the
+        compiler's own allocation analysis is the recorded substitute:
+        peak == weights (arguments) + program temporaries (KV caches,
+        beam state, activations all live inside one jitted program).
+        """
+        import jax.numpy as jnp
+
+        cfg = self.config
+        weights_bytes = sum(
+            x.nbytes for x in jax.tree.leaves(self.params)
+        )
+
+        def analyze(compiled):
+            try:
+                m = compiled.memory_analysis()
+            except Exception:  # backend without the analysis API
+                return None
+            if m is None:
+                return None
+            return {
+                "argument_bytes": int(m.argument_size_in_bytes),
+                "output_bytes": int(m.output_size_in_bytes),
+                "temp_bytes": int(m.temp_size_in_bytes),
+                "code_bytes": int(m.generated_code_size_in_bytes),
+                "peak_bytes": int(
+                    m.argument_size_in_bytes
+                    + m.output_size_in_bytes
+                    + m.temp_size_in_bytes
+                ),
+            }
+
+        mel = jax.ShapeDtypeStruct(
+            (batch_size, cfg.n_mels, 3000), jnp.float32
+        )
+        enc = analyze(M.encode.lower(self.params, cfg, mel).compile())
+
+        xa = jnp.zeros(
+            (batch_size, cfg.n_audio_ctx, cfg.n_audio_state), jnp.bfloat16
+        )
+        prompt = [self.sot_id] * prompt_len
+        lowered = generate_dispatch(
+            self.params,
+            self.config,
+            self.meta,
+            xa,
+            [prompt] * batch_size,
+            sot_id=self.sot_id,
+            beam_size=beam_size,
+            max_length=prompt_len + max_new_tokens,
+            sampling_temperature=sampling_temperature,
+            kv_int8=self.kv_int8,
+            dry_lower=True,
+        )
+        dec = analyze(lowered.compile())
+        return {
+            "weights_bytes": int(weights_bytes),
+            "encode": enc,
+            "decode": dec,
+        }
+
     # -- language detection (transcribe.py:1823, :1193) ------------------
 
     def detect_language(self, encoder_output: jax.Array):

@@ -124,6 +124,13 @@ def random_params_device(config: WhisperConfig, seed: int = 0, dtype="bfloat16")
     import jax.numpy as jnp
 
     from faster_whisper_tpu.models.model import sinusoids
+    from faster_whisper_tpu.utils import enable_compilation_cache
+
+    # The init program below is the first compile of a fresh process in
+    # bench/precompile flows, which build params BEFORE WhisperModel
+    # enables the cache — enable it here so the init program is cached
+    # too (measured ~10 s of cold start otherwise).
+    enable_compilation_cache()
 
     shapes = param_shapes(config)
     leaves, treedef = jax.tree.flatten(shapes, is_leaf=_is_shape_leaf)

@@ -69,6 +69,7 @@ def int8_dense(
     return y.astype(out_dtype or x.dtype)
 
 
+@jax.jit
 def quantize_params(params: dict) -> dict:
     """Quantize every transformer-layer matmul weight in a Whisper param
     tree to QuantizedLinear (embeddings, conv stem, and layernorms stay
@@ -77,7 +78,13 @@ def quantize_params(params: dict) -> dict:
     matmul re-reads the whole (V, d) embedding every decode step, and the
     int8 copy halves that stream while the bf16 table still serves the
     (tiny, gathered) input-embedding lookups at full precision —
-    matching CT2's int8 treatment of the projection."""
+    matching CT2's int8 treatment of the projection.
+
+    Jitted as ONE program: eagerly, each per-weight quantize is ~7 op
+    dispatches, and on relay-compiled backends (axon) every tiny op costs
+    ~0.4 s of compile that the persistent cache refuses to store (below
+    its 1 s floor) — measured ~25 s of every process's cold start.  One
+    fused program compiles once, caches, and dispatches once."""
 
     def quant_attn(p):
         return {

@@ -74,12 +74,16 @@ def build_model(args):
     from faster_whisper_tpu.transcribe import WhisperModel
 
     if args.random_weights:
-        from faster_whisper_tpu.models.config import CONFIGS
+        from faster_whisper_tpu.models.config import CONFIGS, tiny_test_config
         from faster_whisper_tpu.models.load import random_params_device
         from faster_whisper_tpu.testing import build_synthetic_tokenizer
 
-        config = CONFIGS[args.model]
-        tok = build_synthetic_tokenizer(base_vocab=config.n_vocab - 1609)
+        if args.model == "test-micro":  # hermetic CPU tests
+            config = tiny_test_config()
+            tok = build_synthetic_tokenizer()
+        else:
+            config = CONFIGS[args.model]
+            tok = build_synthetic_tokenizer(base_vocab=config.n_vocab - 1609)
         params = random_params_device(config, seed=0, dtype="bfloat16")
         return WhisperModel.from_parts(
             params, config, tok, {"feature_size": config.n_mels},
@@ -188,39 +192,73 @@ def main(argv=None) -> int:
 
         phase("sequential path (beam + conditioned prompts)", run_sequential)
 
-        # The fallback sampling rungs compile lazily in production (only
-        # when a rung actually fires); compile them eagerly here.  Each
-        # distinct temperature is a static argument, i.e. its own program.
+        # The fallback rungs compile lazily in production (only when a
+        # rung actually fires); compile every rung eagerly here with
+        # PRODUCTION-SHAPED arguments — the args must match what
+        # generate_with_fallback passes (transcribe.py:1034-1059) or the
+        # cached programs never hit: the resolved suppress-token set is an
+        # HLO constant, and prompt length buckets (32 / 128 / 256 — the
+        # unconditioned, short-conditioned, and full-223-previous-token
+        # forms of get_prompt) select distinct programs.  NOTE: because
+        # the suppress set is baked in, a --random-weights cache serves a
+        # real deployment only when built with the production tokenizer
+        # (ids differ under the synthetic one).
         def run_rungs():
             import numpy as np
 
-            eng = model.model
-            feat = np.asarray(model.feature_extractor(audio[: 16000 * 30]))
-            xa = eng.encode(np.ascontiguousarray(feat[:, :3000]))
-            prompt = _default_prompt(model)
-            max_len = (
-                len(prompt) + args.max_new_tokens
-                if args.max_new_tokens
-                else model.max_length
-            )
-            for t in temps:
-                if t <= 0:
-                    continue
-                eng.generate(
-                    xa,
-                    [prompt],
-                    beam_size=1,
-                    num_hypotheses=args.best_of,
-                    sampling_temperature=t,
-                    sampling_topk=0,
-                    max_length=max_len,
-                    return_scores=True,
-                    return_no_speech_prob=True,
-                    suppress_blank=True,
-                    suppress_tokens=(),
-                )
+            from faster_whisper_tpu.tokenizer import Tokenizer
+            from faster_whisper_tpu.transcribe import get_suppressed_tokens
 
-        phase("fallback sampling rungs", run_rungs)
+            eng = model.model
+            tokenizer = Tokenizer(
+                model.hf_tokenizer,
+                eng.is_multilingual,
+                task="transcribe",
+                language=args.language or "en",
+            )
+            suppress = get_suppressed_tokens(tokenizer, [-1])
+            feat = np.asarray(model.feature_extractor(audio[: 16000 * 30]))
+            xa = eng.encode(np.ascontiguousarray(feat[:, :3000])[None])
+            filler = tokenizer.encode("the ") or [0]
+            prompts = [
+                model.get_prompt(tokenizer, previous_tokens=prev)
+                for prev in (
+                    [],  # first window: bucket 32
+                    (filler * 90)[:90],  # short conditioning: bucket 128
+                    (filler * 223)[:223],  # full tail: bucket 256
+                )
+            ]
+            for prompt in prompts:
+                max_len = min(
+                    len(prompt) + (args.max_new_tokens or model.max_length),
+                    model.max_length,
+                )
+                for t in temps:
+                    if t > 0:
+                        kwargs = dict(
+                            beam_size=1,
+                            num_hypotheses=args.best_of,
+                            sampling_topk=0,
+                            sampling_temperature=t,
+                        )
+                    else:
+                        kwargs = dict(beam_size=args.beam_size, patience=1.0)
+                    eng.generate(
+                        xa,
+                        [prompt],
+                        length_penalty=1.0,
+                        repetition_penalty=1.0,
+                        no_repeat_ngram_size=0,
+                        max_length=max_len,
+                        return_scores=True,
+                        return_no_speech_prob=True,
+                        suppress_blank=True,
+                        suppress_tokens=suppress,
+                        max_initial_timestamp_index=50,
+                        **kwargs,
+                    )
+
+        phase("fallback rungs (all temps x prompt buckets)", run_rungs)
 
     n1 = _count_cache_entries(cache_dir)
     total = time.perf_counter() - t_start
@@ -239,16 +277,6 @@ def main(argv=None) -> int:
     }
     print(json.dumps(report))
     return 0
-
-
-def _default_prompt(model):
-    tok = model.hf_tokenizer
-    ids = []
-    for name in ("<|startoftranscript|>", "<|en|>", "<|transcribe|>"):
-        t = tok.token_to_id(name)
-        if t is not None:
-            ids.append(t)
-    return ids
 
 
 if __name__ == "__main__":

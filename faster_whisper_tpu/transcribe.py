@@ -1941,12 +1941,14 @@ class BatchedInferencePipeline:
 
         # 1-deep pipelining: dispatch batch i+1's encode+decode onto the
         # device stream before blocking on batch i's results, so the device
-        # never idles during host-side unpacking/tokenization.  Disabled
-        # with word_timestamps: the align pass for batch i would otherwise
-        # queue behind batch i+1's whole decode on the device stream.
-        lookahead = not options.word_timestamps and os.environ.get(
-            "FWT_PIPELINE_LOOKAHEAD", "1"
-        ) != "0"
+        # never idles during host-side unpacking/tokenization.  With
+        # word_timestamps, batch i's align pass queues behind batch i+1's
+        # decode on the (serial) device stream — total device work is
+        # unchanged and the device stays fed; the only cost is one batch
+        # of extra latency on the yielded segments, which the throughput
+        # lever wins back (round-3 gated this off and serialized align
+        # behind decode, leaving the device idle during host unpacking).
+        lookahead = os.environ.get("FWT_PIPELINE_LOOKAHEAD", "1") != "0"
         starts = list(range(0, len(features), batch_size))
         # A trailing partial batch reuses the full-batch XLA program (padded
         # rows dropped at unpack) instead of compiling a second program —

@@ -151,7 +151,12 @@ def enable_compilation_cache(path: Optional[str] = None):
         return
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Tests override the floor to 0 so even sub-second (CPU tiny-model)
+    # programs land in the cache and zero-new-compiles can be asserted.
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ.get("FWT_CACHE_MIN_COMPILE_SECS", "1.0")),
+    )
     _compilation_cache_enabled = True
 
 
