@@ -132,8 +132,43 @@ def main():
         _, acc = jax.lax.fori_loop(0, STEPS, step, (q0, jnp.float32(0)))
         return acc
 
+    def xla_bf16s_sweep(q0, ckq, cks, cvq, cvs):
+        """Evidence probe for the floor note (NOT production: bf16 score
+        accumulation can flip beam decisions): keep the (B,K,H,T)
+        attention-score tensor in bf16 end-to-end, halving the softmax
+        round-trip traffic.  The delta vs xla_sweep measures how much of
+        the 1.9 ms/step is materialized-softmax bytes rather than cache
+        reads."""
+
+        def body(i, carry):
+            q, acc = carry
+            k = jax.lax.dynamic_index_in_dim(ckq, i, 0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(cvq, i, 0, keepdims=False)
+            ks = jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False)
+            vs = jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False)
+            k, v = k.astype(dtype), v.astype(dtype)
+            qx = jnp.swapaxes(q, 1, 2)
+            s = jnp.einsum(
+                "bkhd,bhtd->bkht", qx, k, preferred_element_type=dtype
+            ) * jnp.bfloat16(scale)
+            s = s * jnp.swapaxes(ks, 1, 2)
+            w = jax.nn.softmax(s, axis=-1)  # bf16 in, bf16 out
+            w = (w * jnp.swapaxes(vs, 1, 2)).astype(dtype)
+            a = jnp.einsum("bkht,bhtd->bkhd", w, v)
+            return q, acc + jnp.sum(a.astype(jnp.float32))
+
+        def step(s, carry):
+            q, acc = carry
+            _, acc = jax.lax.fori_loop(0, L, body, (q, acc))
+            return (q * (1.0 + 1e-6 * acc)).astype(dtype), acc
+
+        _, acc = jax.lax.fori_loop(0, STEPS, step, (q0, jnp.float32(0)))
+        return acc
+
     t = timeit(jax.jit(xla_sweep), q, ckq, cks, cvq, cvs)
     print(f"xla-cross     : {t*1e3:8.1f} ms -> {t/STEPS*1e3:6.2f} ms/step")
+    t = timeit(jax.jit(xla_bf16s_sweep), q, ckq, cks, cvq, cvs)
+    print(f"xla-bf16-sm   : {t*1e3:8.1f} ms -> {t/STEPS*1e3:6.2f} ms/step")
     t = timeit(jax.jit(xla_s8_sweep), q, ckq, cks, cvq, cvs)
     print(f"xla-s8-cross  : {t*1e3:8.1f} ms -> {t/STEPS*1e3:6.2f} ms/step")
     t = timeit(jax.jit(ker_sweep), q, ck, cv)

@@ -40,9 +40,51 @@ def _count_cache_entries(cache_dir) -> int:
     return sum(len(files) for _, _, files in os.walk(cache_dir))
 
 
+_SPEECH_FIXTURE = "/root/reference/tests/data/jfk.flac"
+_fixture_cache = {}
+
+
 def synthetic_speech(seconds: float, sr: int = 16000, seed: int = 0):
-    """Speech-shaped audio: harmonic bursts with pauses, so the real VAD
-    produces realistic non-trivial chunking."""
+    """Speech-shaped audio the REAL Silero VAD accepts: random fragments
+    of the jfk fixture spliced with silence gaps, so VAD chunking is
+    non-trivial and the batched pipeline compiles its production batch
+    shapes.  Purely synthetic audio does not work here — Silero v6 is a
+    trained classifier and scores harmonic/formant constructions <0.01
+    speech probability (measured), which silently reduced the round-3
+    warm-up and bench rows to ~1 s of post-VAD audio.  Falls back to the
+    harmonic generator when the fixture is absent."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    base = None
+    if os.path.exists(_SPEECH_FIXTURE):
+        base = _fixture_cache.get(sr)
+        if base is None:
+            from faster_whisper_tpu.audio import decode_audio
+
+            base = np.asarray(
+                decode_audio(_SPEECH_FIXTURE, sampling_rate=sr), np.float32
+            )
+            _fixture_cache[sr] = base
+    if base is None or len(base) < sr:
+        return _harmonic_bursts(seconds, sr, seed)
+
+    out = np.zeros(n, np.float32)
+    t = 0
+    while t < n:
+        frag = int(rng.uniform(1.0, 4.0) * sr)
+        start = int(rng.uniform(0, max(1, len(base) - frag)))
+        gap = int(rng.uniform(0.3, 1.2) * sr)
+        end = min(t + frag, n)
+        out[t:end] = base[start : start + (end - t)]
+        t = end + gap
+    return out
+
+
+def _harmonic_bursts(seconds: float, sr: int = 16000, seed: int = 0):
+    """Harmonic bursts with pauses (fixture-free fallback; does NOT trip
+    a production VAD — see synthetic_speech)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
