@@ -166,6 +166,106 @@ def alignment_matrix(
     return w.mean(axis=0)
 
 
+def _align_head_chain(xk, row_start, n_rows, t_frames, median_width):
+    """openai's DTW-input recipe for ONE alignment head's raw scores
+    (B, S, T), batched with per-item masks: full-T softmax -> per-column
+    standardization over the item's text-row span -> median filter along
+    time with mirror padding at the item's content boundary (the host
+    filters AFTER truncation to t_frames, so the mirror sits there, not
+    at T).  Columns >= t_frames are garbage; callers slice them off."""
+    B, S, T = xk.shape
+    w = jax.nn.softmax(xk.astype(jnp.float32), axis=-1)
+
+    rows = jnp.arange(S)[None, :, None]
+    lo = row_start[:, None, None]
+    hi = (row_start + n_rows)[:, None, None]
+    rmask = (rows >= lo) & (rows < hi)
+    cnt = jnp.maximum(n_rows, 1).astype(jnp.float32)[:, None, None]
+    mean = jnp.sum(jnp.where(rmask, w, 0.0), axis=1, keepdims=True) / cnt
+    var = (
+        jnp.sum(jnp.where(rmask, (w - mean) ** 2, 0.0), axis=1, keepdims=True)
+        / cnt
+    )
+    w = (w - mean) / (jnp.sqrt(var) + 1e-9)
+
+    if median_width <= 1:
+        return w
+
+    # Mirror the content tail: for col >= tf the value must read
+    # x[2*tf - 2 - col], which equals reverse(x) rolled by (2*tf - T - 1)
+    # — a per-item dynamic roll, no gather (TPU gathers serialize).
+    col = jnp.arange(T)[None, None, :]
+    rev = jnp.flip(w, axis=-1)
+    rolled = jax.vmap(lambda r, s: jnp.roll(r, s, axis=-1))(
+        rev, 2 * t_frames - T - 1
+    )
+    w = jnp.where(col < t_frames[:, None, None], w, rolled)
+
+    # median-of-7 along time: reflect pad + 7 static slices + sort
+    half = median_width // 2
+    wp = jnp.pad(w, ((0, 0), (0, 0), (half, half)), mode="reflect")
+    stack = jnp.stack(
+        [wp[:, :, k : k + T] for k in range(median_width)], axis=0
+    )
+    return jnp.sort(stack, axis=0)[half]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "head_select", "eot", "median_width"),
+)
+def _align_forward_post(
+    params,
+    config: WhisperConfig,
+    head_select: Tuple[Tuple[int, int], ...],
+    tokens,  # (B, S) int32
+    xa,  # (B, T, d)
+    row_start,  # (B,) first text row (len(prefix) - 1)
+    n_rows,  # (B,) text rows incl. the eot row
+    t_frames,  # (B,) content frames on the encoder time axis
+    *,
+    eot: int,
+    median_width: int,
+):
+    """One program for the whole align pass: teacher-forced decoder
+    forward (selected-head raw scores accumulated in-scan), next-token
+    probabilities, and the per-head DTW-matrix recipe reduced to its
+    head-mean — returning only (B, S) probs + (B, S, T) matrix.
+
+    Exists because the split version fetched the raw (B, S, V) logits and
+    (B, heads, S, T) attention tensors to the host (~6 GB f32 per batch-8
+    call — ~60 s on a tunneled link and an HBM blow-up when post-processed
+    as one tensor); the DTW only needs ~4.6 MB.  The per-head chain runs
+    as a scan with a (B, S, T) accumulator so no second (B, K, S, T)
+    buffer ever materializes.  The reference never sees this boundary:
+    CT2 computes the whole alignment in C++ (reference
+    faster_whisper/transcribe.py:1709)."""
+    logits, qk = _forward_with_alignment(
+        params, config, head_select, tokens, xa
+    )
+
+    lg = logits[:, :, :eot]
+    lse = jax.nn.logsumexp(lg, axis=-1)
+    nxt = jnp.concatenate([tokens[:, 1:], tokens[:, :1]], axis=1)
+    tok_lp = jnp.take_along_axis(lg, nxt[:, :, None], axis=2)[:, :, 0]
+    probs = jnp.exp(tok_lp - lse)
+
+    B, K, S, T = qk.shape
+
+    def step(acc, xk):
+        return (
+            acc + _align_head_chain(
+                xk, row_start, n_rows, t_frames, median_width
+            ),
+            None,
+        )
+
+    matrix_sum, _ = jax.lax.scan(
+        step, jnp.zeros((B, S, T), jnp.float32), jnp.moveaxis(qk, 1, 0)
+    )
+    return probs, matrix_sum / K
+
+
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Monotonic DTW over a (N, M) cost matrix; returns (text_idx, time_idx)
     backtraced path.  Vectorized over anti-diagonals (the N,M here are at
@@ -517,15 +617,30 @@ class WhisperEngine:
             tokens[i, : len(s)] = s[:pad_to]
 
         heads = self._alignment_heads()
-        logits, qk = _forward_with_alignment(
+        # Probabilities + the DTW input matrix reduce ON DEVICE in one
+        # program (_align_forward_post); only (B, S) + (B, S, T) cross
+        # the link.
+        start = len(prefix) - 1
+        n_rows = np.array(
+            [min(len(t) + 1, pad_to - start) for t in text_tokens], np.int32
+        )
+        tfr = np.array(
+            [max(1, int(nf) // 2) for nf in num_frames], np.int32
+        )
+        probs_d, matrix_d = _align_forward_post(
             self.params,
             self.config,
             heads,
             jnp.asarray(tokens),
             encoder_output,
+            jnp.full((b,), start, jnp.int32),
+            jnp.asarray(n_rows),
+            jnp.asarray(tfr),
+            eot=int(self.meta.eot),
+            median_width=int(median_filter_width),
         )
-        logits = np.asarray(logits)
-        qk = np.asarray(qk)  # (B, K, S, T)
+        probs = np.asarray(probs_d)
+        matrix = np.asarray(matrix_d)
 
         results = []
         for i, text in enumerate(text_tokens):
@@ -534,25 +649,10 @@ class WhisperEngine:
                 results.append(AlignmentResult([], []))
                 continue
 
-            # token probabilities (over the text sub-vocabulary)
-            # logits at position p predict token p+1; text starts after
-            # the [*sot, notimestamps] prefix.
-            start = len(prefix) - 1
-            lg = logits[i, start : start + n_text, : self.meta.eot]
-            lg = lg - lg.max(axis=-1, keepdims=True)
-            p = np.exp(lg)
-            p /= p.sum(axis=-1, keepdims=True)
-            text_token_probs = p[np.arange(n_text), text].tolist()
+            text_token_probs = probs[i, start : start + n_text].tolist()
 
-            # alignment matrix over [text..., eot] rows
-            t_frames = max(1, num_frames[i] // 2)
-            matrix = alignment_matrix(
-                qk[i, :, start : start + n_text + 1, :],
-                t_frames,
-                median_filter_width,
-            )
-
-            text_idx, time_idx = dtw_path(-matrix.astype(np.float64))
+            m = matrix[i, start : start + n_text + 1, : tfr[i]]
+            text_idx, time_idx = dtw_path(-m.astype(np.float64))
             alignments = list(zip(text_idx.tolist(), time_idx.tolist()))
             results.append(AlignmentResult(text_token_probs, alignments))
 

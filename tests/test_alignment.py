@@ -100,3 +100,44 @@ def test_alignment_synthetic_diagonal_attention():
     # each token's start frame should be at/near its attention center
     for i, c in enumerate(centers[:-1]):
         assert abs(jump_times[i] - c) <= 12
+
+
+def test_device_align_chain_matches_host_oracle():
+    """The fused on-device DTW-matrix recipe (_align_head_chain, run per
+    head inside _align_forward_post) must match the host oracle
+    alignment_matrix — including content boundaries t_frames < T, where
+    the median filter's mirror padding sits at each item's boundary."""
+    import jax.numpy as jnp
+
+    from faster_whisper_tpu.models.engine import (
+        _align_head_chain,
+        alignment_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    B, K, S, T = 3, 4, 24, 96
+    qk = rng.standard_normal((B, K, S, T)).astype(np.float32) * 2.0
+    row_start = np.array([2, 4, 2], np.int32)
+    n_rows = np.array([10, 7, 20], np.int32)
+    t_frames = np.array([96, 50, 33], np.int32)  # incl. full-T item
+
+    # device path: per-head chain summed over heads / K
+    acc = np.zeros((B, S, T), np.float32)
+    for k in range(K):
+        acc += np.asarray(
+            _align_head_chain(
+                jnp.asarray(qk[:, k]),
+                jnp.asarray(row_start),
+                jnp.asarray(n_rows),
+                jnp.asarray(t_frames),
+                7,
+            )
+        )
+    device = acc / K
+
+    for b in range(B):
+        lo, n = int(row_start[b]), int(n_rows[b])
+        tf = int(t_frames[b])
+        want = alignment_matrix(qk[b, :, lo : lo + n, :], tf, 7)
+        got = device[b, lo : lo + n, :tf]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
