@@ -643,3 +643,43 @@ def test_ctx_phase_ladder_gating():
         for ctx in (64, 128, 192, 256, 448):
             ph = _ctx_phases(p, ctx, on)
             assert ph[-1] == ctx and ph == sorted(set(ph)), (p, ctx, ph)
+
+
+def test_ctx_phases_unaligned_ctx_disables_ladder_under_fused():
+    """Unaligned ctx_cap + the fused Pallas kernel (8-slot write windows)
+    must fall back to the single-phase loop (advisor r3 finding)."""
+    from faster_whisper_tpu.generation.generate import GenOptions, _ctx_phases
+
+    fused = GenOptions(multi_phase=True, fused_attn=True)
+    assert _ctx_phases(32, 260, fused) == [260]
+    # aligned ctx keeps the ladder; unfused unaligned keeps it too (the
+    # XLA step has no sublane write windows)
+    assert _ctx_phases(32, 256, fused) == [64, 128, 256]
+    unfused = GenOptions(multi_phase=True, fused_attn=False)
+    assert _ctx_phases(32, 260, unfused)[-1] == 260
+
+
+def test_memory_report_and_dry_lower():
+    """WhisperEngine.memory_report must produce the peak-HBM accounting
+    (reference publishes memory per speed row, README.md:27-30) without
+    executing anything; dry_lower returns the exact lowered program."""
+    from faster_whisper_tpu.testing import build_test_model
+
+    m = build_test_model()
+    rep = m.model.memory_report(batch_size=2, beam_size=2, max_new_tokens=8)
+    assert rep["weights_bytes"] > 0
+    for name in ("encode", "decode"):
+        r = rep[name]
+        if r is not None:  # backend may not expose memory_analysis
+            assert r["peak_bytes"] >= r["argument_bytes"] > 0
+
+    from faster_whisper_tpu.generation.generate import generate_dispatch
+
+    eng = m.model
+    cfg = eng.config
+    xa = jnp.zeros((2, cfg.n_audio_ctx, cfg.n_audio_state), jnp.float32)
+    lowered = generate_dispatch(
+        eng.params, cfg, eng.meta, xa, [[eng.sot_id]] * 2,
+        sot_id=eng.sot_id, beam_size=2, max_length=16, dry_lower=True,
+    )
+    assert hasattr(lowered, "compile")  # jax.stages.Lowered

@@ -211,6 +211,10 @@ def test_jax_silero_matches_onnxruntime(test_audio):
     (faster_whisper/vad.py:296-351).  Complements the numpy-interpreter
     tests above with the real runtime."""
     ort = pytest.importorskip("onnxruntime")
+    if not hasattr(ort, "InferenceSession"):
+        # test_reference_parity injects an empty stand-in module so the
+        # reference package imports; that is not a usable runtime
+        pytest.skip("onnxruntime in sys.modules is a test stub")
 
     from faster_whisper_tpu.models.silero import SileroVAD
 
