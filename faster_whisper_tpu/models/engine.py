@@ -268,8 +268,21 @@ def _align_forward_post(
 
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Monotonic DTW over a (N, M) cost matrix; returns (text_idx, time_idx)
-    backtraced path.  Vectorized over anti-diagonals (the N,M here are at
-    most 448 x 1500)."""
+    backtraced path.  Runs the native C++ implementation when available
+    (native/dtw.cpp — the numpy anti-diagonal loop costs ~50-80 ms per
+    (130, 750) matrix, x batch per align call; the native one ~1 ms with
+    bit-identical output), falling back to the numpy oracle below."""
+    from faster_whisper_tpu.dtw_native import dtw_native
+
+    native = dtw_native(cost)
+    if native is not None:
+        return native
+    return _dtw_path_numpy(cost)
+
+
+def _dtw_path_numpy(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy oracle for dtw_path, vectorized over anti-diagonals (the
+    N,M here are at most 448 x 1500)."""
     n, m = cost.shape
     INF = np.float64(np.inf)
     acc = np.full((n + 1, m + 1), INF, dtype=np.float64)

@@ -141,3 +141,32 @@ def test_device_align_chain_matches_host_oracle():
         want = alignment_matrix(qk[b, :, lo : lo + n, :], tf, 7)
         got = device[b, lo : lo + n, :tf]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_native_dtw_matches_numpy():
+    """native/dtw.cpp must be bit-identical to the numpy oracle —
+    including tie-breaks (diag, then insertion) — on random and
+    degenerate matrices."""
+    from faster_whisper_tpu.dtw_native import dtw_native
+    from faster_whisper_tpu.models.engine import _dtw_path_numpy
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.standard_normal((1, 1)),
+        rng.standard_normal((1, 9)),
+        rng.standard_normal((7, 1)),
+        rng.standard_normal((13, 40)),
+        rng.standard_normal((130, 750)),
+        np.zeros((5, 5)),  # full ties: tie-break order must match
+        np.tile(rng.standard_normal((1, 20)), (6, 1)),  # row ties
+    ]
+    checked = 0
+    for cost in cases:
+        native = dtw_native(cost)
+        if native is None:
+            pytest.skip("native DTW unavailable (no toolchain)")
+        want_t, want_f = _dtw_path_numpy(cost)
+        np.testing.assert_array_equal(native[0], want_t)
+        np.testing.assert_array_equal(native[1], want_f)
+        checked += 1
+    assert checked == len(cases)
