@@ -31,7 +31,7 @@ Layout decisions (TPU-first):
 import functools
 
 from dataclasses import dataclass
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -79,7 +79,11 @@ class GenOptions:
     num_finished: int = 5  # finished-pool slots: round(beam_size * patience)
     length_penalty: float = 1.0
     sampling: bool = False
-    sampling_temperature: float = 1.0
+    # NOTE: the sampling temperature is NOT here on purpose — it is a
+    # traced per-row (B,) argument of ``sample`` so one compiled program
+    # serves every fallback rung (the reference pays zero per rung because
+    # CT2 runs one C++ program; baking the float into the jit cache key
+    # would cost a ~35 s compile per temperature instead).
     sampling_topk: int = 0  # 0 = unrestricted
     # Static cache/buffer length: a bucketed bound on max_length.  Sizing
     # the KV cache by the actual decode budget instead of the model's full
@@ -764,9 +768,16 @@ def sample(
     prompt_len: jax.Array,
     sot_pos: jax.Array,
     max_length: jax.Array,
-    rng_key: jax.Array,
+    temperature: jax.Array,  # (B,) per-row sampling temperature (traced)
+    rng_keys: jax.Array,  # (B, 2) per-row PRNG keys (traced)
 ):
     """K independent temperature samples per batch row.
+
+    ``temperature`` and ``rng_keys`` are per-ROW and traced, so one
+    compiled program serves every fallback-ladder rung and a whole
+    ladder can run as one batched call (rows = rungs) whose outputs are
+    independent of what the other rows do — each row owns its key chain
+    and its temperature, exactly as if it ran alone.
 
     Returns (tokens (B,K,ctx), lens (B,K), cum_logprob (B,K),
     eot_seen (B,K), no_speech_prob (B,)).
@@ -779,7 +790,6 @@ def sample(
     phases = _ctx_phases(p, ctx, gen_opts)
     ctx0 = phases[0]
     V = meta.vocab_size
-    temp = gen_opts.sampling_temperature
 
     gather_pos = jnp.stack([prompt_len - 1, sot_pos], axis=1)
     first_logits, cache0 = decoder_prefill(
@@ -825,7 +835,7 @@ def sample(
 
     def body(state):
         (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
-         last_tok, penult_tok, ts_max, key, _active_lag) = state
+         last_tok, penult_tok, ts_max, keys, _active_lag) = state
         ctx_tab = tokens.shape[2]  # current ladder rung's table size
         cap = jnp.minimum(max_length, ctx)
         active_in = ~finished & (lens < cap)  # from inputs: ready at start
@@ -855,13 +865,19 @@ def sample(
         # softmax(logprobs / T) equals softmax(masked_logits / T) — the
         # per-row log-normalizer is a constant shift, so one softmax serves
         # both the score bookkeeping and the sampling distribution.
-        sample_logits = logprobs / temp
+        sample_logits = logprobs / temperature[:, None, None]
         if gen_opts.sampling_topk > 0:
             kth = jax.lax.top_k(sample_logits, gen_opts.sampling_topk)[0][..., -1:]
             sample_logits = jnp.where(sample_logits < kth, NEG_INF, sample_logits)
 
-        key, sub = jax.random.split(key)
-        next_tok = jax.random.categorical(sub, sample_logits, axis=-1)  # (B, K)
+        # Per-row key chains: row i's draws depend only on its own key,
+        # so a batched ladder call reproduces what each rung would draw
+        # in its own B=1 call (given the same per-row seed).
+        split = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+        keys, subs = split[:, 0], split[:, 1]
+        next_tok = jax.vmap(
+            lambda k, l: jax.random.categorical(k, l, axis=-1)
+        )(subs, sample_logits)  # (B, K)
         next_tok = jnp.where(finished, meta.eot, next_tok)
 
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, :, None], axis=2)[:, :, 0]
@@ -916,10 +932,10 @@ def sample(
         )
 
         return (tokens, lens, sum_lp, finished_new, self_k, self_v,
-                next_logits, last_tok, penult_tok, ts_max, key, active_in)
+                next_logits, last_tok, penult_tok, ts_max, keys, active_in)
 
     state = (tokens, lens, sum_lp, finished, self_k, self_v, cur_logits,
-             last_tok, penult_tok, ts_max, rng_key,
+             last_tok, penult_tok, ts_max, rng_keys,
              jnp.ones((b, K), bool))
     loop_body = body
     if gen_opts.cond_chunk > 1:  # see GenOptions.cond_chunk
@@ -1173,11 +1189,11 @@ def generate(
     suppress_blank: bool = True,
     suppress_tokens: Optional[Sequence[int]] = (),
     max_initial_timestamp_index: int = 50,
-    sampling_temperature: float = 1.0,
+    sampling_temperature: Union[float, Sequence[float]] = 1.0,
     sampling_topk: int = 1,
     num_hypotheses: int = 1,
     with_timestamps: bool = True,
-    rng_seed: Optional[int] = None,
+    rng_seed: Optional[Union[int, Sequence[int]]] = None,
     kv_int8: bool = False,
 ) -> List[WhisperGenerationResult]:
     """Batched generation mirroring the CT2 call signature the reference
@@ -1243,11 +1259,11 @@ def generate_dispatch(
     suppress_blank: bool = True,
     suppress_tokens: Optional[Sequence[int]] = (),
     max_initial_timestamp_index: int = 50,
-    sampling_temperature: float = 1.0,
+    sampling_temperature: Union[float, Sequence[float]] = 1.0,
     sampling_topk: int = 1,
     num_hypotheses: int = 1,
     with_timestamps: bool = True,
-    rng_seed: Optional[int] = None,
+    rng_seed: Optional[Union[int, Sequence[int]]] = None,
     kv_int8: bool = False,
     dry_lower: bool = False,
 ) -> PendingGeneration:
@@ -1290,7 +1306,27 @@ def generate_dispatch(
     # a handful of programs and short decode budgets stay cheap.
     ctx_cap = min(448, _bucket(max(max_length, P + 1), step=64, cap=448))
 
-    is_sampling = sampling_temperature > 0 and beam_size == 1
+    # Per-row temperature: a scalar applies to every row; a sequence maps
+    # one temperature per batch row (the batched fallback ladder dispatches
+    # its remaining rungs as rows of ONE call — transcribe.py
+    # generate_with_fallback).  Temperature is traced, so every value runs
+    # the same compiled program.
+    if isinstance(sampling_temperature, (list, tuple, np.ndarray)):
+        temps = [float(t) for t in sampling_temperature]
+        if len(temps) != b:
+            raise ValueError(
+                f"per-row sampling_temperature has {len(temps)} entries "
+                f"for batch size {b}"
+            )
+    else:
+        temps = [float(sampling_temperature)] * b
+
+    is_sampling = beam_size == 1 and all(t > 0 for t in temps)
+    if beam_size == 1 and any(t > 0 for t in temps) and not is_sampling:
+        raise ValueError(
+            "per-row sampling_temperature mixes zero and non-zero values; "
+            "greedy (t=0) and sampling rows cannot share one call"
+        )
 
     if is_sampling:
         gen_opts = GenOptions(
@@ -1298,7 +1334,6 @@ def generate_dispatch(
             num_finished=num_hypotheses,
             length_penalty=length_penalty,
             sampling=True,
-            sampling_temperature=sampling_temperature,
             sampling_topk=sampling_topk,
             ctx_cap=ctx_cap,
             kv_int8=kv_int8,
@@ -1307,6 +1342,34 @@ def generate_dispatch(
             cond_chunk=_cond_chunk_default(),
             multi_phase=_multi_phase_default(),
         )
+        # CT2 sampling is stochastic per call: draw fresh OS entropy
+        # unless the caller pins seeds (tests, ladder parity).  Keys are
+        # per-ROW and traced: row i's draws depend only on its own chain,
+        # so a batched ladder reproduces each rung's solo draws, and
+        # per-call seeds never recompile.
+        if rng_seed is None:
+            seeds = [
+                int(np.random.SeedSequence().entropy % (2**63))
+                for _ in range(b)
+            ]
+        elif isinstance(rng_seed, (list, tuple, np.ndarray)):
+            seeds = [int(s) for s in rng_seed]
+            if len(seeds) != b:
+                raise ValueError(
+                    f"per-row rng_seed has {len(seeds)} entries for "
+                    f"batch size {b}"
+                )
+        else:
+            # one seed for the whole batch: derive a distinct stream per
+            # row (fold_in) so rows never share draws
+            seeds = None
+        if seeds is None:
+            base = jax.random.PRNGKey(int(rng_seed))
+            rng_keys = jnp.stack(
+                [jax.random.fold_in(base, i) for i in range(b)]
+            )
+        else:
+            rng_keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
         arrays = (sample.lower if dry_lower else sample)(
             params,
             config,
@@ -1318,14 +1381,8 @@ def generate_dispatch(
             jnp.asarray(prompt_lens),
             jnp.asarray(sot_pos),
             jnp.asarray(max_length, dtype=jnp.int32),
-            jax.random.PRNGKey(
-                # CT2 sampling is stochastic per call: draw fresh OS
-                # entropy unless the caller pins a seed (tests).  The key
-                # is a traced array, so per-call seeds do not recompile.
-                np.random.SeedSequence().entropy % (2**63)
-                if rng_seed is None
-                else rng_seed
-            ),
+            jnp.asarray(temps, dtype=jnp.float32),
+            rng_keys,
         )
         if dry_lower:
             return arrays  # jax.stages.Lowered

@@ -408,7 +408,7 @@ class WhisperEngine:
         suppress_blank: bool = True,
         suppress_tokens: Optional[Sequence[int]] = (),
         max_initial_timestamp_index: int = 50,
-        sampling_temperature: float = 1.0,
+        sampling_temperature=1.0,  # float or per-row Sequence[float]
         sampling_topk: int = 1,
         rng_seed=None,
     ) -> List[WhisperGenerationResult]:
@@ -451,7 +451,7 @@ class WhisperEngine:
         suppress_blank: bool = True,
         suppress_tokens: Optional[Sequence[int]] = (),
         max_initial_timestamp_index: int = 50,
-        sampling_temperature: float = 1.0,
+        sampling_temperature=1.0,  # float or per-row Sequence[float]
         sampling_topk: int = 1,
         rng_seed=None,
     ):

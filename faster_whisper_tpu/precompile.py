@@ -270,34 +270,54 @@ def main(argv=None) -> int:
                     (filler * 223)[:223],  # full tail: bucket 256
                 )
             ]
+            # The temperature is a traced per-row array (one sampling
+            # program serves EVERY rung value), and production batches
+            # the remaining sampling rungs into one call whose batch
+            # size is the rung count (transcribe.py rung_results) — so
+            # per bucket we compile the beam program, the batched-tail
+            # sampling program, and the B=1 sampling program (serial
+            # rungs under FWT_BATCHED_LADDER=0 or single-temp ladders).
+            import jax.numpy as jnp
+
+            sample_tail = [t for t in temps if t > 0]
             for prompt in prompts:
                 max_len = min(
                     len(prompt) + (args.max_new_tokens or model.max_length),
                     model.max_length,
                 )
-                for t in temps:
-                    if t > 0:
-                        kwargs = dict(
-                            beam_size=1,
-                            num_hypotheses=args.best_of,
-                            sampling_topk=0,
-                            sampling_temperature=t,
-                        )
-                    else:
-                        kwargs = dict(beam_size=args.beam_size, patience=1.0)
+                common = dict(
+                    length_penalty=1.0,
+                    repetition_penalty=1.0,
+                    no_repeat_ngram_size=0,
+                    max_length=max_len,
+                    return_scores=True,
+                    return_no_speech_prob=True,
+                    suppress_blank=True,
+                    suppress_tokens=suppress,
+                    max_initial_timestamp_index=50,
+                )
+                if any(t <= 0 for t in temps):
                     eng.generate(
-                        xa,
-                        [prompt],
-                        length_penalty=1.0,
-                        repetition_penalty=1.0,
-                        no_repeat_ngram_size=0,
-                        max_length=max_len,
-                        return_scores=True,
-                        return_no_speech_prob=True,
-                        suppress_blank=True,
-                        suppress_tokens=suppress,
-                        max_initial_timestamp_index=50,
-                        **kwargs,
+                        xa, [prompt],
+                        beam_size=args.beam_size, patience=1.0, **common,
+                    )
+                sample_kwargs = dict(
+                    beam_size=1, num_hypotheses=args.best_of,
+                    sampling_topk=0, **common,
+                )
+                if sample_tail:
+                    eng.generate(
+                        xa, [prompt],
+                        sampling_temperature=sample_tail[0], **sample_kwargs,
+                    )
+                if len(sample_tail) > 1:
+                    n = len(sample_tail)
+                    xa_n = jnp.broadcast_to(
+                        jnp.asarray(xa), (n,) + tuple(xa.shape[1:])
+                    )
+                    eng.generate(
+                        xa_n, [prompt] * n,
+                        sampling_temperature=sample_tail, **sample_kwargs,
                     )
 
         phase("fallback rungs (all temps x prompt buckets)", run_rungs)

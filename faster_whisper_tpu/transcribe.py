@@ -1031,7 +1031,23 @@ class WhisperModel:
                 f"so that their combined length is less that {self.max_length}."
             )
 
-        for temperature in options.temperatures:
+        base_kwargs = dict(
+            length_penalty=options.length_penalty,
+            repetition_penalty=options.repetition_penalty,
+            no_repeat_ngram_size=options.no_repeat_ngram_size,
+            max_length=max_length,
+            return_scores=True,
+            return_no_speech_prob=True,
+            suppress_blank=options.suppress_blank,
+            suppress_tokens=options.suppress_tokens,
+            max_initial_timestamp_index=max_initial_timestamp_index,
+        )
+        supports_dispatch = hasattr(self.model, "generate_dispatch")
+
+        def run_rung(temperature):
+            """One serial ladder rung (reference semantics,
+            reference transcribe.py:1410-1446)."""
+            nonlocal after_dispatch
             if temperature > 0:
                 kwargs = {
                     "beam_size": 1,
@@ -1044,37 +1060,75 @@ class WhisperModel:
                     "beam_size": options.beam_size,
                     "patience": options.patience,
                 }
-
-            gen_kwargs = dict(
-                length_penalty=options.length_penalty,
-                repetition_penalty=options.repetition_penalty,
-                no_repeat_ngram_size=options.no_repeat_ngram_size,
-                max_length=max_length,
-                return_scores=True,
-                return_no_speech_prob=True,
-                suppress_blank=options.suppress_blank,
-                suppress_tokens=options.suppress_tokens,
-                max_initial_timestamp_index=max_initial_timestamp_index,
-                **kwargs,
-            )
-            if hasattr(self.model, "generate_dispatch"):
+            if supports_dispatch:
                 # dispatch/collect split: the device starts decoding while
                 # the host runs ``after_dispatch`` (speculative next-window
                 # encode) before blocking on the result.
                 pending = self.model.generate_dispatch(
-                    encoder_output, [prompt], **gen_kwargs
+                    encoder_output, [prompt], **base_kwargs, **kwargs
                 )
                 if after_dispatch is not None:
                     after_dispatch()
                     after_dispatch = None
-                result = self.model.generate_collect(pending)[0]
-            else:
-                # reference-shaped engines (decision-parity harnesses)
-                # expose only ``generate``
-                result = self.model.generate(
-                    encoder_output, [prompt], **gen_kwargs
-                )[0]
+                return self.model.generate_collect(pending)[0]
+            # reference-shaped engines (decision-parity harnesses)
+            # expose only ``generate``
+            return self.model.generate(
+                encoder_output, [prompt], **base_kwargs, **kwargs
+            )[0]
 
+        def rung_results():
+            """Yield (result, temperature) in ladder order.
+
+            Rungs run LAZILY (an accepted rung stops the generator, so
+            the common real-weights case pays for exactly one decode),
+            but once a rung has failed and every remaining rung is a
+            sampling rung, the whole tail dispatches as ONE batched
+            call — rows are rungs, with per-row traced temperature and
+            per-row key chains (generation/generate.py sample) — so the
+            worst-case ladder costs ~two decodes instead of six.  Rows
+            are independent, and rung evaluation is side-effect-free,
+            so "first acceptable rung wins" is decision-identical to
+            the reference's serial loop.  FWT_BATCHED_LADDER=0 forces
+            the serial rungs.
+            """
+            nonlocal after_dispatch
+            temps = list(options.temperatures)
+            for i, temperature in enumerate(temps):
+                tail = temps[i:]
+                if (
+                    supports_dispatch
+                    and len(tail) > 1
+                    and all(t > 0 for t in tail)
+                    and os.environ.get("FWT_BATCHED_LADDER", "1") != "0"
+                    and int(encoder_output.shape[0]) == 1
+                ):
+                    import jax.numpy as jnp
+
+                    n = len(tail)
+                    xa = jnp.broadcast_to(
+                        jnp.asarray(encoder_output),
+                        (n,) + tuple(encoder_output.shape[1:]),
+                    )
+                    pending = self.model.generate_dispatch(
+                        xa,
+                        [prompt] * n,
+                        **base_kwargs,
+                        beam_size=1,
+                        num_hypotheses=options.best_of,
+                        sampling_topk=0,
+                        sampling_temperature=list(tail),
+                    )
+                    if after_dispatch is not None:
+                        after_dispatch()
+                        after_dispatch = None
+                    for pair in zip(self.model.generate_collect(pending), tail):
+                        yield pair
+                    return
+                yield run_rung(temperature), temperature
+
+        temperature = options.temperatures[-1]
+        for result, temperature in rung_results():
             tokens = result.sequences_ids[0]
 
             # recover the length-normalized average log probability

@@ -587,8 +587,7 @@ def test_multi_phase_sampling_matches_single_phase(tiny_model, kv_int8):
     outs = {}
     for mp in (False, True):
         go = GenOptions(
-            beam_size=2, num_finished=2, sampling=True,
-            sampling_temperature=0.8, ctx_cap=256,
+            beam_size=2, num_finished=2, sampling=True, ctx_cap=256,
             kv_int8=kv_int8, multi_phase=mp,
         )
         assert _ctx_phases(P, 256, go) == ([64, 128, 256] if mp else [256])
@@ -597,7 +596,9 @@ def test_multi_phase_sampling_matches_single_phase(tiny_model, kv_int8):
             for a in sample(
                 params, cfg, go, proc, meta, xa,
                 jnp.asarray(pa), jnp.asarray(pl), jnp.asarray(sp),
-                jnp.asarray(200, jnp.int32), jax.random.PRNGKey(7),
+                jnp.asarray(200, jnp.int32),
+                jnp.full((1,), 0.8, jnp.float32),
+                jax.random.PRNGKey(7)[None],
             )
         ]
 
