@@ -60,10 +60,17 @@ _NEG_INF = -1e30  # plain float for kernel bodies (no captured jnp consts)
 _WIN = 8  # ctx write-window (Mosaic sublane alignment)
 
 
-def _head_block(n_head: int, k: int, ctx: int) -> int:
+def _head_block(n_head: int, k: int, ctx: int, itemsize: int = 1) -> int:
     """Largest head-tile that divides n_head and keeps the kernel's
-    double-buffered int8 K/V blocks within ~10 MB of VMEM (the lane dim
-    pads D=64 -> 128)."""
+    double-buffered K/V cache blocks within ~10 MB of VMEM (the lane dim
+    pads D=64 -> 128).
+
+    ``itemsize`` is the cache element size in bytes: 1 for the int8
+    cache, 2 for the raw bf16 cache.  Mosaic's scoped-VMEM stack limit
+    is 16 MB; budgeting the bf16 cache at int8 sizes picked hb=20 for
+    large-v3 (K=5, ctx=192), a 19.5 MB block that failed to compile on
+    a real chip for EVERY batch size (the block is per-(b, head-tile),
+    so B doesn't shrink it)."""
     import os
 
     pref = os.environ.get("FWT_FUSED_HB")
@@ -71,7 +78,7 @@ def _head_block(n_head: int, k: int, ctx: int) -> int:
         return int(pref)
     budget = 10 * 1024 * 1024
     for hb in (20, 16, 10, 8, 5, 4, 2, 1):
-        if n_head % hb == 0 and 4 * hb * k * ctx * 128 <= budget:
+        if n_head % hb == 0 and 4 * hb * k * ctx * 128 * itemsize <= budget:
             return hb
     return 1
 
@@ -350,7 +357,7 @@ def beam_attend_append(
     b, h, k, d = q.shape
     cache_q = self_k.q if quant else self_k
     ctx = cache_q.shape[4]
-    hb = _head_block(h, k, ctx)
+    hb = _head_block(h, k, ctx, itemsize=cache_q.dtype.itemsize)
     d_scale = d ** -0.5
 
     grid = (b, h // hb)
@@ -775,7 +782,7 @@ def cross_attend(
     b, h, k, d = q.shape
     cache_q = cross_k.q if quant else cross_k
     t = cache_q.shape[3]
-    hb = _head_block(h, 1, t)
+    hb = _head_block(h, 1, t, itemsize=cache_q.dtype.itemsize)
     d_scale = d ** -0.5
 
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))

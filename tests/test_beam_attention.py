@@ -211,3 +211,23 @@ def test_cross_attend_s8_path_matches_f32_reference(t_block):
     o = np.asarray(out, np.float32)
     tol = 2e-2 * np.abs(ref).max()
     np.testing.assert_allclose(o, ref, atol=tol)
+
+
+def test_head_block_budget_accounts_for_cache_dtype():
+    """Mosaic's scoped-VMEM stack is 16 MB; budgeting the bf16 cache at
+    int8 element size picked hb=20 for large-v3 (H=20, K=5, ctx=192) — a
+    19.5 MB block the chip refuses to compile at ANY batch size (the
+    block is per-(b, head-tile)).  itemsize must halve the tile."""
+    from faster_whisper_tpu.ops.beam_attention import _head_block
+
+    budget = 10 * 1024 * 1024
+    # large-v3 decode shapes: int8 keeps the full head tile...
+    assert _head_block(20, 5, 192, itemsize=1) == 20
+    # ...bf16 must shrink it below the budget
+    hb = _head_block(20, 5, 192, itemsize=2)
+    assert hb < 20 and 20 % hb == 0
+    assert 4 * hb * 5 * 192 * 128 * 2 <= budget
+    # cross-attention shapes (K=1, T=1500) for both dtypes
+    for itemsize in (1, 2):
+        hb = _head_block(20, 1, 1500, itemsize=itemsize)
+        assert 4 * hb * 1 * 1500 * 128 * itemsize <= budget
