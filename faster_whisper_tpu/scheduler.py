@@ -41,7 +41,14 @@ __all__ = ["ContinuousBatcher", "GenKey"]
 
 
 class GenKey(NamedTuple):
-    """Everything that must match for two chunks to share a decode batch."""
+    """Everything that must match for two chunks to share a decode batch.
+
+    The sampling TEMPERATURE is deliberately NOT part of the key: it is a
+    traced per-row argument of the sampling program
+    (generation/generate.py ``sample``), so requests with different
+    temperatures share one compiled program AND one device batch — only
+    the sampling/beam split (different programs) partitions the queue.
+    Each entry carries its own temperature (``_Entry.temperature``)."""
 
     beam_size: int
     patience: float
@@ -51,19 +58,20 @@ class GenKey(NamedTuple):
     max_length: int
     suppress_blank: bool
     suppress_tokens: tuple
-    sampling_temperature: float
+    sampling: bool  # beam_size == 1 and temperature > 0 (distinct program)
     with_timestamps: bool  # engine derives it from prompts[0]; keep batches pure
 
 
 class _Entry:
-    __slots__ = ("features", "row", "prompt", "key",
+    __slots__ = ("features", "row", "prompt", "key", "temperature",
                  "result", "enc", "enc_row", "error", "event")
 
-    def __init__(self, features, row, prompt, key):
+    def __init__(self, features, row, prompt, key, temperature=0.0):
         self.features = features  # the submitting request's (N, mel, 3000)
         self.row = row
         self.prompt = prompt
         self.key = key
+        self.temperature = float(temperature)  # per-row when key.sampling
         self.result = None  # WhisperGenerationResult
         self.enc = None  # encoder output batch this chunk ran in
         self.enc_row = None  # its row index there
@@ -93,12 +101,19 @@ class ContinuousBatcher:
     # -- request side -----------------------------------------------------
 
     def submit(
-        self, features, prompts: Sequence[Sequence[int]], key: GenKey
+        self,
+        features,
+        prompts: Sequence[Sequence[int]],
+        key: GenKey,
+        temperature: float = 0.0,
     ) -> List[_Entry]:
         """Enqueue one request's chunks; returns entries whose ``event``
-        fires (in any order) as shared batches complete."""
+        fires (in any order) as shared batches complete.  ``temperature``
+        rides per-entry (used only when ``key.sampling``), so requests
+        with different temperatures still share batches."""
         entries = [
-            _Entry(features, i, list(p), key) for i, p in enumerate(prompts)
+            _Entry(features, i, list(p), key, temperature)
+            for i, p in enumerate(prompts)
         ]
         with self._cv:
             if self._stopping:
@@ -171,6 +186,13 @@ class ContinuousBatcher:
 
         enc = self.model.model.encode(feats)
         prompts = [e.prompt for e in batch] + [batch[-1].prompt] * n_pad
+        if key.sampling:
+            # per-row traced temperatures: mixed-temperature requests run
+            # in ONE batch on one compiled program
+            temps = [e.temperature for e in batch]
+            temps += [temps[-1]] * n_pad
+        else:
+            temps = 0.0  # beam program; temperature unused
         pending = self.model.model.generate_dispatch(
             enc,
             prompts,
@@ -184,7 +206,7 @@ class ContinuousBatcher:
             return_no_speech_prob=True,
             suppress_blank=key.suppress_blank,
             suppress_tokens=key.suppress_tokens,
-            sampling_temperature=key.sampling_temperature,
+            sampling_temperature=temps,
         )
         self.batches_dispatched += 1
         self.chunks_processed += len(batch)

@@ -2100,6 +2100,7 @@ class BatchedInferencePipeline:
                 f"({self.model.max_length})."
             )
 
+        temperature = options.temperatures[0]
         key = GenKey(
             beam_size=options.beam_size,
             patience=options.patience,
@@ -2109,11 +2110,15 @@ class BatchedInferencePipeline:
             max_length=max_length,
             suppress_blank=options.suppress_blank,
             suppress_tokens=tuple(options.suppress_tokens or ()),
-            sampling_temperature=options.temperatures[0],
+            # the temperature itself is per-row traced (scheduler.GenKey);
+            # only the sampling/beam program split partitions batches
+            sampling=options.beam_size == 1 and temperature > 0,
             with_timestamps=self.model.model.meta.no_timestamps not in prompt,
         )
         entries = (
-            self.scheduler.submit(features, [prompt] * n_chunks, key)
+            self.scheduler.submit(
+                features, [prompt] * n_chunks, key, temperature=temperature
+            )
             if n_chunks
             else []
         )

@@ -298,3 +298,56 @@ def test_sse_streaming_sequential_releases_lock(server_url):
             events = _parse_sse(r.read())
         assert events[-1] == "[DONE]"
         assert events[-2]["type"] == "transcript.text.done"
+
+
+def test_batcher_shares_batches_across_temperatures():
+    """Requests that differ ONLY in sampling temperature must coalesce:
+    the temperature is a per-row traced argument of the sampling program
+    (scheduler.GenKey drops it from the batch key), so a t=0.3 and a
+    t=0.8 request ride one device batch with per-row temperatures."""
+    import concurrent.futures
+    import io
+
+    from faster_whisper_tpu.audio import decode_audio
+    from faster_whisper_tpu.scheduler import ContinuousBatcher
+    from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+    model = build_test_model()
+    audio = decode_audio(io.BytesIO(_wav_bytes(seconds=3.0, seed=5)))
+
+    eng = model.model
+    dispatched = []
+    orig = eng.generate_dispatch
+
+    def spy(enc, prompts, **kw):
+        dispatched.append(kw.get("sampling_temperature"))
+        return orig(enc, prompts, **kw)
+
+    eng.generate_dispatch = spy
+    batcher = ContinuousBatcher(model, max_batch=4, max_wait_ms=300)
+    try:
+        barrier = threading.Barrier(2)
+
+        def one_request(temp):
+            barrier.wait()
+            pipeline = BatchedInferencePipeline(model, scheduler=batcher)
+            segments, _ = pipeline.transcribe(
+                audio, language="en", beam_size=1, temperature=[temp],
+                vad_filter=False, max_new_tokens=16, batch_size=4,
+            )
+            return [(s.start, s.end) for s in segments]
+
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            outs = list(ex.map(one_request, [0.3, 0.8]))
+
+        assert all(outs), outs
+        assert batcher.chunks_processed == 2
+        assert batcher.batches_dispatched == 1, (
+            batcher.batches_dispatched, dispatched
+        )
+        # one batched dispatch carrying BOTH temperatures per-row
+        temps = dispatched[-1]
+        assert isinstance(temps, list) and sorted(set(temps)) == [0.3, 0.8]
+    finally:
+        eng.generate_dispatch = orig
+        batcher.close()
