@@ -229,6 +229,30 @@ def extra_rows(model, batch_size, beam_size):
     if os.environ.get("BENCH_TURBO_ROW", "1") != "0":
         guard("turbo", turbo_row)
 
+    def int4_row():
+        # compute_type="int4" (beyond-reference; CT2 has no 4-bit type):
+        # packed-int4 decoder weights + cross K/V stream at half the
+        # bytes (ops/quant.py::quantize_params_int4, GenOptions.w_int4).
+        # Accuracy at 4-bit range needs real-weights WER to validate —
+        # this row records the speed side only.
+        m4 = build_model(os.environ.get("BENCH_MODEL", "large-v3"), "int4")
+        audio = load_audio_13min()
+        run_once(m4, audio, batch_size, beam_size)  # compile/load warmup
+        t = min(run_once(m4, audio, batch_size, beam_size) for _ in range(2))
+        rows["13min batched, int4 weights+crossKV"] = round(t, 2)
+        rep = m4.model.memory_report(
+            batch_size=batch_size, beam_size=beam_size, max_new_tokens=128
+        )
+        gb = 1024.0 ** 3
+        rows["int4 weights HBM GB"] = round(rep["weights_bytes"] / gb, 2)
+        if rep["decode"] is not None:
+            rows["int4 decode program peak HBM GB"] = round(
+                rep["decode"]["peak_bytes"] / gb, 2
+            )
+
+    if os.environ.get("BENCH_INT4_ROW", "1") != "0":
+        guard("int4", int4_row)
+
     def serving_row():
         import io
         import threading

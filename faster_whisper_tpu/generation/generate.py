@@ -54,7 +54,11 @@ from faster_whisper_tpu.ops.mega_decoder import (
     mega_supported,
     pack_mega,
 )
-from faster_whisper_tpu.ops.quant import QuantKV, quantize_kv
+from faster_whisper_tpu.ops.quant import (
+    QuantizedLinear,
+    QuantKV,
+    quantize_kv,
+)
 from faster_whisper_tpu.models.config import WhisperConfig
 from faster_whisper_tpu.models.model import (
     KVCache,
@@ -125,6 +129,24 @@ class GenOptions:
     # position >= cur_len.  Default on; generate_dispatch additionally
     # honors FWT_MULTI_PHASE=0 to disable (see _multi_phase_default).
     multi_phase: bool = True
+    # 4-bit decoder weights (compute_type="int4"): params must arrive
+    # quantized by ops/quant.py::quantize_params_int4 (values in [-7, 7],
+    # int8 storage — S4 arrays cannot cross the jit dispatch boundary on
+    # all runtimes), and the program converts them ONCE to packed int4
+    # HBM temps (_pack_int4_weights) so every decode step streams half
+    # the weight bytes.  The storage change is numerically a no-op: the
+    # values are identical in s8 and s4 and the MXU dot is exact in
+    # int32 either way (pinned by tests/test_int4.py).
+    w_int4: bool = False
+    # 4-bit cross-attention K/V: quantize the shared (L, B, H, T, D)
+    # cross cache to |q| <= cross_kv_qmax and, when cross_kv_s4, store it
+    # as packed int4 — the cross sweep is the decode step's largest
+    # single HBM stream (~0.98 GB/step at the bench shapes in int8).
+    # Requires kv_int8 (the int4 cache rides the QuantKV scale path);
+    # the self cache stays int8 (the fused Pallas append kernel aliases
+    # 8-slot sublane windows in place, which packed nibbles can't honor).
+    cross_kv_qmax: int = 127
+    cross_kv_s4: bool = False
 
 
 class WhisperGenerationResult:
@@ -254,7 +276,8 @@ def _gen_decoder_step(
         h = layer_norm(x, p["ln2_g"], p["ln2_b"])
         cp = p["cross_attn"]
         qx = _dense(h, cp["wq"], cp["bq"]).reshape(b, k, n_head, dh)
-        if fused and _fused_cross_enabled():
+        cross_is_s4 = quant and cross_k.q.dtype == jnp.int4
+        if fused and _fused_cross_enabled() and not cross_is_s4:
             attn_h = cross_attend(
                 i, qx.transpose(0, 2, 1, 3).astype(dtype), cross_k, cross_v
             )
@@ -388,7 +411,10 @@ def _tokens_view(hist_tok: jax.Array, anc: jax.Array) -> jax.Array:
     return out
 
 
-def _expand_caches(cache0, K: int, kv_int8: bool):
+def _expand_caches(
+    cache0, K: int, kv_int8: bool, cross_qmax: int = 127,
+    cross_s4: bool = False,
+):
     """Broadcast the prefill cache to the (B, K) beam grid, optionally
     quantizing both the self and cross K/V to int8 (the decode loop's
     dominant HBM read is these caches; int8 halves it).
@@ -396,7 +422,13 @@ def _expand_caches(cache0, K: int, kv_int8: bool):
     The self cache is head-major: values (L, B, H, ctx, D) ->
     (L, B, H, K, ctx, D) and int8 scales (L, B, H, ctx) ->
     (L, B, H, K, ctx), both with the beam axis inserted before ctx
-    (models/model.py::KVCache, ops/beam_attention.py)."""
+    (models/model.py::KVCache, ops/beam_attention.py).
+
+    ``cross_qmax=7`` + ``cross_s4`` (compute_type="int4") stores the
+    shared cross K/V as packed int4: the while_loop body closes over
+    these arrays, so XLA materializes the packed tensors once per call
+    and every step's cross sweep reads half the bytes (the int4 -> bf16
+    upcast fuses into the attention dot's operand read)."""
 
     def bcast(a):  # (L, B, H, ...) -> (L, B, H, K, ...)
         return jnp.broadcast_to(
@@ -413,13 +445,50 @@ def _expand_caches(cache0, K: int, kv_int8: bool):
         # cross scales carry a unit axis -> (L, B, H, 1, T): the fused
         # kernel's tile-legal block shape, materialized once per window
         # instead of per layer call
-        ckq, cvq = quantize_kv(cache0.cross_k), quantize_kv(cache0.cross_v)
-        cross_k = QuantKV(ckq.q, ckq.s.astype(sdt)[:, :, :, None])
-        cross_v = QuantKV(cvq.q, cvq.s.astype(sdt)[:, :, :, None])
+        ckq = quantize_kv(cache0.cross_k, qmax=cross_qmax)
+        cvq = quantize_kv(cache0.cross_v, qmax=cross_qmax)
+        ckq_q, cvq_q = ckq.q, cvq.q
+        if cross_s4:
+            ckq_q = jax.lax.optimization_barrier(ckq_q.astype(jnp.int4))
+            cvq_q = jax.lax.optimization_barrier(cvq_q.astype(jnp.int4))
+        cross_k = QuantKV(ckq_q, ckq.s.astype(sdt)[:, :, :, None])
+        cross_v = QuantKV(cvq_q, cvq.s.astype(sdt)[:, :, :, None])
     else:
         self_k, self_v = bcast(cache0.self_k), bcast(cache0.self_v)
         cross_k, cross_v = cache0.cross_k, cache0.cross_v
     return self_k, self_v, cross_k, cross_v
+
+
+def _pack_int4_weights(params):
+    """Convert the decoder's QuantizedLinear weights (4-bit-range values
+    stored int8 by quantize_params_int4) to packed int4 HBM temps, ONCE
+    per program.  S4 arrays cannot cross the jit dispatch boundary on
+    all runtimes (the axon relay rejects them), so the conversion lives
+    in-program; the optimization_barrier stops XLA from fusing the
+    upcast back into every step's reads (which would re-stream the s8
+    argument instead of the half-width packed copy).  Exact: every value
+    fits int4, so the s8->s4 cast and the MXU's mixed s8 x s4 -> s32
+    dot are lossless (tests/test_int4.py pins bit-equality)."""
+
+    def to4(ql):
+        return QuantizedLinear(
+            q=jax.lax.optimization_barrier(ql.q.astype(jnp.int4)), s=ql.s
+        )
+
+    layers = dict(params["decoder"]["layers"])
+    for sec in ("self_attn", "cross_attn", "mlp"):
+        d = dict(layers[sec])
+        for name, v in d.items():
+            if isinstance(v, QuantizedLinear):
+                d[name] = to4(v)
+        layers[sec] = d
+    dec = dict(params["decoder"])
+    dec["layers"] = layers
+    if isinstance(dec.get("logits_w"), QuantizedLinear):
+        dec["logits_w"] = to4(dec["logits_w"])
+    out = dict(params)
+    out["decoder"] = dec
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +541,8 @@ def beam_search(
     F = gen_opts.num_finished
     lp_pow = gen_opts.length_penalty
     b, p = prompt.shape
+    if gen_opts.w_int4:
+        params = _pack_int4_weights(params)
     # Laddered ctx decode: the loop below runs once per ladder rung, on a
     # KV table of phases[i] slots; ``ctx`` (the FULL logical table, what
     # the single-phase loop used everywhere) keeps sizing the post-loop
@@ -494,7 +565,10 @@ def beam_search(
         jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
     ) * jnp.ones((b, 1), jnp.float32)
 
-    self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
+    self_k, self_v, cross_k, cross_v = _expand_caches(
+        cache0, K, gen_opts.kv_int8,
+        cross_qmax=gen_opts.cross_kv_qmax, cross_s4=gen_opts.cross_kv_s4,
+    )
     mega, mega_interpret = _mega_setup(params, gen_opts, config)
 
     # Ancestry slot map: anc[b, k, c] = beam slot holding the K/V written at
@@ -784,6 +858,8 @@ def sample(
     """
     K = gen_opts.beam_size
     b, p = prompt.shape
+    if gen_opts.w_int4:
+        params = _pack_int4_weights(params)
     # Laddered ctx decode, as in beam_search: small KV tables early,
     # ``ctx`` stays the full logical table for the length caps.
     ctx = min(gen_opts.ctx_cap, config.n_text_ctx)
@@ -810,7 +886,10 @@ def sample(
     penult_tok = jnp.zeros((b, K), jnp.int32)
     ts_max = jnp.full((b, K), -1, jnp.int32)
 
-    self_k, self_v, cross_k, cross_v = _expand_caches(cache0, K, gen_opts.kv_int8)
+    self_k, self_v, cross_k, cross_v = _expand_caches(
+        cache0, K, gen_opts.kv_int8,
+        cross_qmax=gen_opts.cross_kv_qmax, cross_s4=gen_opts.cross_kv_s4,
+    )
     mega, mega_interpret = _mega_setup(params, gen_opts, config)
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
@@ -1146,6 +1225,10 @@ def _mega_setup(params, gen_opts: "GenOptions", config=None):
     loop so XLA materializes the vector table once per call."""
     if not (gen_opts.kv_int8 and mega_supported(params)):
         return None, False
+    if gen_opts.w_int4 or gen_opts.cross_kv_s4:
+        # the megakernel's manual weight DMA and cache BlockSpecs are
+        # written for s8 storage; packed-int4 operands are not wired in
+        return None, False
     if config is not None and not _mega_fits_vmem(params, gen_opts, config):
         return None, False
     mode = gen_opts.mega_mode
@@ -1195,6 +1278,7 @@ def generate(
     with_timestamps: bool = True,
     rng_seed: Optional[Union[int, Sequence[int]]] = None,
     kv_int8: bool = False,
+    int4: bool = False,
 ) -> List[WhisperGenerationResult]:
     """Batched generation mirroring the CT2 call signature the reference
     uses (transcribe.py:222-236, :1446-1459)."""
@@ -1223,6 +1307,7 @@ def generate(
             with_timestamps=with_timestamps,
             rng_seed=rng_seed,
             kv_int8=kv_int8,
+            int4=int4,
         )
     )
 
@@ -1265,6 +1350,7 @@ def generate_dispatch(
     with_timestamps: bool = True,
     rng_seed: Optional[Union[int, Sequence[int]]] = None,
     kv_int8: bool = False,
+    int4: bool = False,
     dry_lower: bool = False,
 ) -> PendingGeneration:
     """Enqueue a generation on the device and return immediately (JAX
@@ -1341,6 +1427,9 @@ def generate_dispatch(
             mega_mode=_mega_mode(),
             cond_chunk=_cond_chunk_default(),
             multi_phase=_multi_phase_default(),
+            w_int4=int4,
+            cross_kv_qmax=7 if int4 else 127,
+            cross_kv_s4=int4,
         )
         # CT2 sampling is stochastic per call: draw fresh OS entropy
         # unless the caller pins seeds (tests, ladder parity).  Keys are
@@ -1399,6 +1488,9 @@ def generate_dispatch(
         mega_mode=_mega_mode(),
         cond_chunk=_cond_chunk_default(),
         multi_phase=_multi_phase_default(),
+        w_int4=int4,
+        cross_kv_qmax=7 if int4 else 127,
+        cross_kv_s4=int4,
     )
     arrays = (beam_search.lower if dry_lower else beam_search)(
         params,

@@ -339,15 +339,21 @@ class WhisperEngine:
         hf_tokenizer=None,
         token_ids: Optional[dict] = None,
         kv_int8: bool = False,
+        int4: bool = False,
     ):
         """``token_ids`` may pre-specify the special ids; otherwise they are
         resolved from ``hf_tokenizer``.  ``kv_int8`` quantizes the decode
-        loop's K/V caches (set for int8 compute types)."""
+        loop's K/V caches (set for int8 compute types).  ``int4``
+        (compute_type="int4") expects params from quantize_params_int4 and
+        makes the decode loop stream packed-int4 decoder weights and cross
+        K/V (generation/generate.py::_pack_int4_weights); the self cache
+        stays int8 for the fused append kernel."""
         self.params = params
         self.config = config
         self.device = "tpu"
         self.device_index = 0
         self.kv_int8 = kv_int8
+        self.int4 = int4
         # Set by WhisperModel._setup_mesh for multi-chip data parallelism:
         # a NamedSharding splitting the batch axis over the ("data",) mesh.
         self.input_sharding = None
@@ -487,6 +493,7 @@ class WhisperEngine:
             num_hypotheses=num_hypotheses,
             with_timestamps=with_timestamps,
             kv_int8=self.kv_int8,
+            int4=self.int4,
         )
 
     @staticmethod
@@ -558,6 +565,7 @@ class WhisperEngine:
             max_length=prompt_len + max_new_tokens,
             sampling_temperature=sampling_temperature,
             kv_int8=self.kv_int8,
+            int4=self.int4,
             dry_lower=True,
         )
         dec = analyze(lowered.compile())

@@ -33,13 +33,18 @@ class QuantizedLinear(NamedTuple):
     s: jax.Array
 
 
-def quantize_weight(w: jax.Array, axis: int = -2) -> QuantizedLinear:
+def quantize_weight(
+    w: jax.Array, axis: int = -2, qmax: int = 127
+) -> QuantizedLinear:
     """Symmetric per-output-channel quantization of an (..., in, out)
-    weight; ``axis`` is the contraction (input) dimension."""
+    weight; ``axis`` is the contraction (input) dimension.  ``qmax=7``
+    produces 4-bit-range values (still stored int8 — the packed int4
+    copy is materialized inside the decode program, see
+    generation/generate.py::_pack_int4_weights)."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-10)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(amax / float(qmax), 1e-10)
+    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
     return QuantizedLinear(q=q, s=jnp.squeeze(scale, axis=axis))
 
 
@@ -69,8 +74,7 @@ def int8_dense(
     return y.astype(out_dtype or x.dtype)
 
 
-@jax.jit
-def quantize_params(params: dict) -> dict:
+def _quantize_params(params: dict, dec_qmax: int) -> dict:
     """Quantize every transformer-layer matmul weight in a Whisper param
     tree to QuantizedLinear (embeddings, conv stem, and layernorms stay
     in their original dtype).  The tied output projection additionally
@@ -80,48 +84,71 @@ def quantize_params(params: dict) -> dict:
     (tiny, gathered) input-embedding lookups at full precision —
     matching CT2's int8 treatment of the projection.
 
-    Jitted as ONE program: eagerly, each per-weight quantize is ~7 op
-    dispatches, and on relay-compiled backends (axon) every tiny op costs
-    ~0.4 s of compile that the persistent cache refuses to store (below
-    its 1 s floor) — measured ~25 s of every process's cold start.  One
-    fused program compiles once, caches, and dispatches once."""
+    ``dec_qmax=7`` quantizes the DECODER matmuls and the logits head at
+    4-bit range for ``compute_type="int4"``; the encoder always stays at
+    int8 range — encode is MXU-compute-bound, so narrower storage buys
+    nothing there while the decode loop is weight-stream-bound."""
 
-    def quant_attn(p):
+    def quant_attn(p, qmax):
         return {
-            "wq": quantize_weight(p["wq"]),
+            "wq": quantize_weight(p["wq"], qmax=qmax),
             "bq": p["bq"],
-            "wk": quantize_weight(p["wk"]),
-            "wv": quantize_weight(p["wv"]),
+            "wk": quantize_weight(p["wk"], qmax=qmax),
+            "wv": quantize_weight(p["wv"], qmax=qmax),
             "bv": p["bv"],
-            "wo": quantize_weight(p["wo"]),
+            "wo": quantize_weight(p["wo"], qmax=qmax),
             "bo": p["bo"],
         }
 
-    def quant_mlp(p):
+    def quant_mlp(p, qmax):
         return {
-            "w1": quantize_weight(p["w1"]),
+            "w1": quantize_weight(p["w1"], qmax=qmax),
             "b1": p["b1"],
-            "w2": quantize_weight(p["w2"]),
+            "w2": quantize_weight(p["w2"], qmax=qmax),
             "b2": p["b2"],
         }
 
     out = jax.tree.map(lambda x: x, params)  # shallow-ish copy
     enc_layers = dict(params["encoder"]["layers"])
-    enc_layers["attn"] = quant_attn(enc_layers["attn"])
-    enc_layers["mlp"] = quant_mlp(enc_layers["mlp"])
+    enc_layers["attn"] = quant_attn(enc_layers["attn"], 127)
+    enc_layers["mlp"] = quant_mlp(enc_layers["mlp"], 127)
     out["encoder"] = dict(params["encoder"])
     out["encoder"]["layers"] = enc_layers
 
     dec_layers = dict(params["decoder"]["layers"])
-    dec_layers["self_attn"] = quant_attn(dec_layers["self_attn"])
-    dec_layers["cross_attn"] = quant_attn(dec_layers["cross_attn"])
-    dec_layers["mlp"] = quant_mlp(dec_layers["mlp"])
+    dec_layers["self_attn"] = quant_attn(dec_layers["self_attn"], dec_qmax)
+    dec_layers["cross_attn"] = quant_attn(dec_layers["cross_attn"], dec_qmax)
+    dec_layers["mlp"] = quant_mlp(dec_layers["mlp"], dec_qmax)
     out["decoder"] = dict(params["decoder"])
     out["decoder"]["layers"] = dec_layers
     out["decoder"]["logits_w"] = quantize_weight(
-        jnp.transpose(params["decoder"]["token_embed"])
+        jnp.transpose(params["decoder"]["token_embed"]), qmax=dec_qmax
     )
     return out
+
+
+@jax.jit
+def quantize_params(params: dict) -> dict:
+    """int8 (W8A8) quantization of a Whisper param tree — see
+    ``_quantize_params``.
+
+    Jitted as ONE program: eagerly, each per-weight quantize is ~7 op
+    dispatches, and on relay-compiled backends (axon) every tiny op costs
+    ~0.4 s of compile that the persistent cache refuses to store (below
+    its 1 s floor) — measured ~25 s of every process's cold start.  One
+    fused program compiles once, caches, and dispatches once."""
+    return _quantize_params(params, 127)
+
+
+@jax.jit
+def quantize_params_int4(params: dict) -> dict:
+    """``compute_type="int4"``: decoder matmuls + logits head at 4-bit
+    range (values in [-7, 7], int8 storage — S4 cannot cross the jit
+    dispatch boundary on all runtimes), encoder at int8 range.  The
+    decode program converts the decoder weights to packed int4 HBM
+    temps once per call (generation/generate.py::_pack_int4_weights)
+    so every decode step streams half the weight bytes."""
+    return _quantize_params(params, 7)
 
 
 # ---------------------------------------------------------------------------
@@ -143,10 +170,11 @@ class QuantKV(NamedTuple):
     s: jax.Array
 
 
-def quantize_kv(x: jax.Array) -> QuantKV:
-    """Quantize a (..., H, D) K/V tensor over the head dim D."""
+def quantize_kv(x: jax.Array, qmax: int = 127) -> QuantKV:
+    """Quantize a (..., H, D) K/V tensor over the head dim D.  ``qmax=7``
+    gives 4-bit-range values for the packed-int4 cross cache."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
-    s = jnp.maximum(amax / 127.0, 1e-10)
-    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    s = jnp.maximum(amax / float(qmax), 1e-10)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -qmax, qmax).astype(jnp.int8)
     return QuantKV(q=q, s=s)

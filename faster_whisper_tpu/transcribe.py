@@ -210,6 +210,10 @@ class WhisperModel:
             from faster_whisper_tpu.ops.quant import quantize_params
 
             params = quantize_params(params)
+        elif compute_type == "int4":
+            from faster_whisper_tpu.ops.quant import quantize_params_int4
+
+            params = quantize_params_int4(params)
 
         import tokenizers
 
@@ -227,7 +231,8 @@ class WhisperModel:
 
         self.model = WhisperEngine(
             params, config, self.hf_tokenizer,
-            kv_int8=compute_type.startswith("int8"),
+            kv_int8=compute_type.startswith("int8") or compute_type == "int4",
+            int4=compute_type == "int4",
         )
         self._setup_mesh(device_index, tensor_parallel)
 
@@ -337,13 +342,18 @@ class WhisperModel:
             from faster_whisper_tpu.ops.quant import quantize_params
 
             params = quantize_params(params)
+        elif compute_type == "int4":
+            from faster_whisper_tpu.ops.quant import quantize_params_int4
+
+            params = quantize_params_int4(params)
         self.hf_tokenizer = hf_tokenizer
 
         from faster_whisper_tpu.models.engine import WhisperEngine
 
         self.model = WhisperEngine(
             params, config, hf_tokenizer,
-            kv_int8=compute_type.startswith("int8"),
+            kv_int8=compute_type.startswith("int8") or compute_type == "int4",
+            int4=compute_type == "int4",
         )
         self._setup_mesh(device_index, tensor_parallel)
         kwargs = dict(feature_extractor_kwargs or {})
@@ -2342,6 +2352,10 @@ def _compute_type_to_dtype(compute_type: str) -> str:
         "int8_float16": "bfloat16",
         "int8_bfloat16": "bfloat16",
         "int8_float32": "float32",
+        # beyond-reference (CT2 has no 4-bit type): packed-int4 decoder
+        # weights + cross K/V, int8 encoder/self-cache — see ops/quant.py
+        # quantize_params_int4 and generation/generate.py GenOptions.w_int4
+        "int4": "bfloat16",
     }
     if compute_type not in mapping:
         raise ValueError(f"unsupported compute_type: {compute_type}")

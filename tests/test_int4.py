@@ -1,0 +1,186 @@
+"""compute_type="int4": packed-int4 decoder weights + cross K/V.
+
+Beyond-reference (CT2 has no 4-bit type — reference
+faster_whisper/transcribe.py:650-651 lists its compute types).  The
+contract tested here:
+
+  * quantize_params_int4 puts DECODER matmuls + logits head at 4-bit
+    range ([-7, 7]) and leaves the encoder at int8 range;
+  * the in-program s8 -> s4 storage conversion is numerically a NO-OP:
+    beam search and sampling produce bit-identical outputs with
+    ``w_int4`` / ``cross_kv_s4`` on and off (same 4-bit-range params),
+    because every value fits int4 and the MXU accumulates exactly in
+    int32 either way;
+  * the end-to-end pipeline runs under compute_type="int4".
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from faster_whisper_tpu.generation.generate import (  # noqa: E402
+    GenOptions,
+    beam_search,
+    sample,
+)
+from faster_whisper_tpu.generation.processors import (  # noqa: E402
+    ProcessorOptions,
+    TokenMeta,
+)
+from faster_whisper_tpu.models.config import tiny_test_config  # noqa: E402
+from faster_whisper_tpu.models.load import random_params  # noqa: E402
+from faster_whisper_tpu.ops.quant import (  # noqa: E402
+    QuantizedLinear,
+    quantize_params_int4,
+)
+
+
+def test_quantize_params_int4_ranges():
+    cfg = tiny_test_config()
+    params = random_params(cfg, dtype="float32")
+    q = quantize_params_int4(params)
+
+    dec = q["decoder"]["layers"]
+    for sec in ("self_attn", "cross_attn", "mlp"):
+        for name, v in dec[sec].items():
+            if isinstance(v, QuantizedLinear):
+                assert int(jnp.max(jnp.abs(v.q))) <= 7, (sec, name)
+    assert int(jnp.max(jnp.abs(q["decoder"]["logits_w"].q))) <= 7
+    # encoder stays at int8 range (encode is compute-bound, not
+    # weight-stream-bound; full precision kept there)
+    enc_wq = q["encoder"]["layers"]["attn"]["wq"]
+    assert int(jnp.max(jnp.abs(enc_wq.q))) > 7
+
+
+def _setup(seed=0, b=2):
+    cfg = tiny_test_config()
+    params = quantize_params_int4(random_params(cfg, dtype="float32", seed=seed))
+    meta = TokenMeta(
+        eot=cfg.n_vocab - 1,
+        timestamp_begin=cfg.n_vocab - 10,
+        no_timestamps=cfg.n_vocab - 11,
+        no_speech=cfg.n_vocab - 12,
+        blank=(220,),
+        vocab_size=cfg.n_vocab,
+    )
+    proc = ProcessorOptions(with_timestamps=False)
+    rng = np.random.default_rng(seed)
+    xa = jnp.asarray(
+        rng.standard_normal((b, cfg.n_audio_ctx, cfg.n_audio_state)),
+        jnp.bfloat16,
+    ) * 0.1
+    prompt = jnp.asarray([[1, 2, 3, 0], [1, 2, 3, 0]][:b], jnp.int32)
+    prompt_len = jnp.asarray([3] * b, jnp.int32)
+    sot_pos = jnp.asarray([0] * b, jnp.int32)
+    return cfg, params, meta, proc, xa, prompt, prompt_len, sot_pos
+
+
+def _opts(sampling: bool, **kw):
+    base = dict(
+        beam_size=2,
+        num_finished=2,
+        sampling=sampling,
+        ctx_cap=32,
+        kv_int8=True,
+        fused_attn=False,
+        multi_phase=False,
+    )
+    base.update(kw)
+    return GenOptions(**base)
+
+
+def test_beam_int4_storage_bit_identical():
+    """Same 4-bit-range params: packed-int4 storage (w_int4 + cross_kv_s4)
+    must reproduce the int8-stored run bit for bit."""
+    cfg, params, meta, proc, xa, prompt, prompt_len, sot_pos = _setup()
+    outs = {}
+    for s4 in (False, True):
+        opts = _opts(
+            False, w_int4=s4, cross_kv_qmax=7, cross_kv_s4=s4
+        )
+        outs[s4] = beam_search(
+            params, cfg, opts, proc, meta, xa, prompt, prompt_len,
+            sot_pos, jnp.asarray(16, jnp.int32),
+        )
+    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_int4_storage_bit_identical():
+    cfg, params, meta, proc, xa, prompt, prompt_len, sot_pos = _setup(seed=1)
+    keys = jnp.stack([jax.random.PRNGKey(7), jax.random.PRNGKey(8)])
+    temps = jnp.asarray([0.7, 1.0], jnp.float32)
+    outs = {}
+    for s4 in (False, True):
+        opts = _opts(
+            True, sampling_topk=0, w_int4=s4, cross_kv_qmax=7, cross_kv_s4=s4
+        )
+        outs[s4] = sample(
+            params, cfg, opts, proc, meta, xa, prompt, prompt_len,
+            sot_pos, jnp.asarray(16, jnp.int32), temps, keys,
+        )
+    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_phase_int4_matches_single_phase():
+    """The ctx ladder's _grow_ctx transitions must stay output-identical
+    with packed-int4 weights/cross in play."""
+    cfg, params, meta, proc, xa, prompt, prompt_len, sot_pos = _setup(seed=2)
+    outs = {}
+    for mp in (False, True):
+        opts = _opts(
+            False, w_int4=True, cross_kv_qmax=7, cross_kv_s4=True,
+            ctx_cap=128, multi_phase=mp,
+        )
+        outs[mp] = [
+            np.asarray(a)
+            for a in beam_search(
+                params, cfg, opts, proc, meta, xa, prompt, prompt_len,
+                sot_pos, jnp.asarray(100, jnp.int32),
+            )
+        ]
+    cur_len = outs[False][5]
+    for name, a, b in zip(
+        ("hist_tok", "hist_par", "fin_slot", "fin_lens", "fin_scores",
+         "cur_len", "active_score", "no_speech_prob", "prompt_len"),
+        outs[False], outs[True],
+    ):
+        if name in ("hist_tok", "hist_par"):
+            # only written positions are defined; pads differ by design
+            for i in range(a.shape[0]):
+                np.testing.assert_array_equal(
+                    a[i, : cur_len[i]], b[i, : cur_len[i]], err_msg=name
+                )
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_int4_end_to_end_pipeline():
+    from faster_whisper_tpu.testing import build_synthetic_tokenizer
+    from faster_whisper_tpu.transcribe import WhisperModel
+
+    cfg = tiny_test_config()
+    model = WhisperModel.from_parts(
+        random_params(cfg, dtype="float32"),
+        cfg,
+        build_synthetic_tokenizer(),
+        compute_type="int4",
+    )
+    assert model.model.int4 and model.model.kv_int8
+    segs, info = model.transcribe(
+        np.random.default_rng(0).standard_normal(16000 * 2).astype(np.float32)
+        * 0.1,
+        language="en",
+        beam_size=2,
+        temperature=[0.0],
+        log_prob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    list(segs)
+
+    rep = model.model.memory_report(batch_size=1, beam_size=2, max_new_tokens=8)
+    assert rep["weights_bytes"] > 0
