@@ -390,25 +390,30 @@ def main():
     times = [run_once(model, audio, batch_size, beam_size) for _ in range(repeats)]
     best = min(times)
 
+    # Print the headline line BEFORE the tail rows too: the extras take
+    # many minutes (second models, serving, a cold-start subprocess) and
+    # must not be able to cost the headline if the harness times the run
+    # out mid-extras.  It is printed again at the end so it also lands in
+    # a tail-window parser; both lines are identical.
+    baseline = 16.0  # reference large-v2 int8 batch=8 on RTX 3070 Ti
+    headline = json.dumps(
+        {
+            "metric": f"13min-audio batched transcribe wall-clock "
+            f"({model_name} random-weights, {compute_type}, "
+            f"beam={beam_size}, batch={batch_size}, 128 tok/chunk)",
+            "value": round(best, 3),
+            "unit": "s",
+            "vs_baseline": round(baseline / best, 3),
+        }
+    )
+    print(headline, flush=True)
+
     if os.environ.get("BENCH_EXTRA_ROWS", "1") != "0":
         try:
             extra_rows(model, batch_size, beam_size)
         except Exception as exc:  # noqa: BLE001 — tail rows must not kill bench
             print(f"# extra_rows failed: {exc!r}", file=sys.stderr)
-
-    baseline = 16.0  # reference large-v2 int8 batch=8 on RTX 3070 Ti
-    print(
-        json.dumps(
-            {
-                "metric": f"13min-audio batched transcribe wall-clock "
-                f"({model_name} random-weights, {compute_type}, "
-                f"beam={beam_size}, batch={batch_size}, 128 tok/chunk)",
-                "value": round(best, 3),
-                "unit": "s",
-                "vs_baseline": round(baseline / best, 3),
-            }
-        )
-    )
+        print(headline, flush=True)
 
 
 if __name__ == "__main__":

@@ -471,8 +471,16 @@ def _pack_int4_weights(params):
     dot are lossless (tests/test_int4.py pins bit-equality)."""
 
     def to4(ql):
+        # The clip is free (it fuses into the one-time pack conversion)
+        # and turns a misuse — int8-range params reaching the int4 path,
+        # where astype alone would wrap values modulo 16 — into bounded
+        # saturation; WhisperEngine(int4=True) additionally validates the
+        # range eagerly at construction.
         return QuantizedLinear(
-            q=jax.lax.optimization_barrier(ql.q.astype(jnp.int4)), s=ql.s
+            q=jax.lax.optimization_barrier(
+                jnp.clip(ql.q, -7, 7).astype(jnp.int4)
+            ),
+            s=ql.s,
         )
 
     layers = dict(params["decoder"]["layers"])
@@ -1364,6 +1372,12 @@ def generate_dispatch(
     unavailable so static XLA analysis is the honest substitute)."""
     b = len(prompts)
     assert encoder_output.shape[0] == b
+    if int4 and not kv_int8:
+        raise ValueError(
+            "int4=True requires kv_int8=True: the packed-int4 cross cache "
+            "rides the QuantKV scale path (_expand_caches), so without "
+            "kv_int8 the cross-KV half of int4 would silently not apply"
+        )
 
     prompt_lens = np.array([len(pr) for pr in prompts], dtype=np.int32)
     # Prompt buckets: 32 covers the batched pipeline's short prompts; long

@@ -354,6 +354,20 @@ class WhisperEngine:
         self.device_index = 0
         self.kv_int8 = kv_int8
         self.int4 = int4
+        if int4:
+            if not kv_int8:
+                raise ValueError("int4=True requires kv_int8=True")
+            # int4 params MUST come from quantize_params_int4 (values in
+            # [-7, 7]); int8-range values would saturate in the in-program
+            # int4 pack (generation/generate.py::_pack_int4_weights).  One
+            # eager reduction on the logits head catches the mispairing at
+            # construction instead of as silent garbage transcripts.
+            lw = params["decoder"].get("logits_w")
+            if lw is not None and int(jnp.max(jnp.abs(lw.q))) > 7:
+                raise ValueError(
+                    "int4=True but params are int8-range: quantize with "
+                    "ops.quant.quantize_params_int4 (compute_type='int4')"
+                )
         # Set by WhisperModel._setup_mesh for multi-chip data parallelism:
         # a NamedSharding splitting the batch axis over the ("data",) mesh.
         self.input_sharding = None

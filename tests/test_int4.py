@@ -158,6 +158,35 @@ def test_multi_phase_int4_matches_single_phase():
             np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_int4_guards_reject_mispairing():
+    """int4 must refuse int8-range params (the in-program pack would
+    saturate them) and kv_int8=False (the cross-KV half would silently
+    not apply)."""
+    from faster_whisper_tpu.generation.generate import generate_dispatch
+    from faster_whisper_tpu.models.engine import WhisperEngine
+    from faster_whisper_tpu.ops.quant import quantize_params
+    from faster_whisper_tpu.testing import build_synthetic_tokenizer
+
+    cfg = tiny_test_config()
+    raw = random_params(cfg, dtype="float32")
+    tok = build_synthetic_tokenizer()
+
+    with pytest.raises(ValueError, match="int8-range"):
+        WhisperEngine(quantize_params(raw), cfg, tok, kv_int8=True, int4=True)
+    with pytest.raises(ValueError, match="kv_int8"):
+        WhisperEngine(
+            quantize_params_int4(raw), cfg, tok, kv_int8=False, int4=True
+        )
+
+    eng = WhisperEngine(quantize_params_int4(raw), cfg, tok, kv_int8=True)
+    xa = jnp.zeros((1, cfg.n_audio_ctx, cfg.n_audio_state), jnp.bfloat16)
+    with pytest.raises(ValueError, match="kv_int8"):
+        generate_dispatch(
+            eng.params, cfg, eng.meta, xa, [[1, 2, 3]], sot_id=eng.sot_id,
+            int4=True, kv_int8=False,
+        )
+
+
 def test_int4_end_to_end_pipeline():
     from faster_whisper_tpu.testing import build_synthetic_tokenizer
     from faster_whisper_tpu.transcribe import WhisperModel
