@@ -123,8 +123,15 @@ def extra_rows(model, batch_size, beam_size):
     from faster_whisper_tpu.precompile import synthetic_speech
 
     rows = {}
+    # BENCH_ROWS=word-timestamps,serving ... runs only the named tail rows
+    # (all by default) — lets one row be re-measured in isolation.
+    only = {
+        s.strip() for s in os.environ.get("BENCH_ROWS", "").split(",") if s.strip()
+    }
 
     def guard(name, fn):
+        if only and name not in only:
+            return
         try:
             fn()
         except Exception as exc:  # noqa: BLE001 — tail rows must not kill bench
@@ -165,6 +172,33 @@ def extra_rows(model, batch_size, beam_size):
         once()  # align-program compile/load
         t = min(once() for _ in range(2))
         rows["13min batched + word_timestamps (decode+align)"] = round(t, 2)
+
+        # The row above uses the openai 320-head fallback because random
+        # builds carry no alignment_heads metadata; every real checkpoint
+        # ships ~6-10 dumped heads (reference: CT2 config alignment_heads,
+        # openai _ALIGNMENT_HEADS — large-v3 has 10).  The align pass
+        # accumulates a (B, K, S, T) score tensor in-scan, so K=320 reads
+        # 32x the HBM of the production K=10: measure the production-
+        # realistic cost with 10 in-range (layer, head) pairs (which pairs
+        # is speed-irrelevant — the selector is a static one-hot).
+        eng = model.model
+        cfg = eng.config
+        L, H = cfg.n_text_layer, cfg.n_text_head
+        ten_heads = tuple(
+            (L // 2 + (i * (L - L // 2)) // 10, (i * 7) % H) for i in range(10)
+        )
+        # Override the head list on the instance (NOT via config: config is
+        # a static jit argument, so replacing it would needlessly recompile
+        # the decode/encode programs too — only the align program differs).
+        eng._alignment_heads = lambda: ten_heads
+        try:
+            once()  # 10-head align-program compile/load
+            t10 = min(once() for _ in range(2))
+        finally:
+            del eng._alignment_heads
+        rows["13min batched + word_timestamps (10 align heads, production count)"] = (
+            round(t10, 2)
+        )
 
     guard("word-timestamps", word_ts_row)
 

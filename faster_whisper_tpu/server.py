@@ -20,6 +20,10 @@ wrappers expose):
       windows are still on the device), a final ``transcript.text.done``
       event with the full text and info, then ``data: [DONE]``.
   GET  /healthz       -> {"status": "ok", "model": ...}
+  GET  /metrics       -> Prometheus text format: request/segment/audio-second
+                         counters, request latency sum, in-flight gauge, and
+                         the ContinuousBatcher's device-batch vs chunk
+                         counters (batching efficiency = chunks/batches).
 
 Run:  python -m faster_whisper_tpu.server --model large-v3 --port 8000
 """
@@ -29,6 +33,7 @@ import io
 import json
 import logging
 import threading
+import time
 from email import policy
 from email.parser import BytesParser
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -100,6 +105,60 @@ def _segment_dict(seg, verbose):
     return d
 
 
+class ServiceMetrics:
+    """Lock-protected serving counters exported at GET /metrics."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests_total = {"ok": 0, "error": 0, "bad_request": 0}
+        self.request_seconds_total = 0.0
+        self.audio_seconds_total = 0.0
+        self.segments_total = 0
+        self.in_flight = 0
+
+    def start(self):
+        with self._lock:
+            self.in_flight += 1
+
+    def bad_request(self):
+        with self._lock:
+            self.requests_total["bad_request"] += 1
+
+    def finish(self, status, seconds, audio_seconds=0.0, n_segments=0):
+        with self._lock:
+            self.in_flight -= 1
+            self.requests_total[status] = self.requests_total.get(status, 0) + 1
+            self.request_seconds_total += seconds
+            self.audio_seconds_total += audio_seconds
+            self.segments_total += n_segments
+
+    def render(self, batcher=None) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE fwt_requests_total counter",
+                *(
+                    f'fwt_requests_total{{status="{k}"}} {v}'
+                    for k, v in sorted(self.requests_total.items())
+                ),
+                "# TYPE fwt_request_seconds_total counter",
+                f"fwt_request_seconds_total {self.request_seconds_total:.3f}",
+                "# TYPE fwt_audio_seconds_total counter",
+                f"fwt_audio_seconds_total {self.audio_seconds_total:.3f}",
+                "# TYPE fwt_segments_total counter",
+                f"fwt_segments_total {self.segments_total}",
+                "# TYPE fwt_requests_in_flight gauge",
+                f"fwt_requests_in_flight {self.in_flight}",
+            ]
+        if batcher is not None:
+            lines += [
+                "# TYPE fwt_batcher_batches_dispatched_total counter",
+                f"fwt_batcher_batches_dispatched_total {batcher.batches_dispatched}",
+                "# TYPE fwt_batcher_chunks_processed_total counter",
+                f"fwt_batcher_chunks_processed_total {batcher.chunks_processed}",
+            ]
+        return "\n".join(lines) + "\n"
+
+
 class TranscriptionService:
     """Owns the model and a process-wide chunk batcher.
 
@@ -115,6 +174,7 @@ class TranscriptionService:
     def __init__(self, model, batched=True, max_batch=8):
         self.model = model
         self.batched = batched
+        self.metrics = ServiceMetrics()
         self.batcher = None
         if batched:
             from faster_whisper_tpu.scheduler import ContinuousBatcher
@@ -227,8 +287,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- routes ----------------------------------------------------------
     def do_GET(self):
-        if urlparse(self.path).path in ("/healthz", "/health"):
+        path = urlparse(self.path).path
+        if path in ("/healthz", "/health"):
             self._send_json(200, {"status": "ok", "model": self.model_name})
+        elif path == "/metrics":
+            body = self.service.metrics.render(self.service.batcher)
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+            )
+            self.send_header("Content-Length", str(len(body.encode())))
+            self.end_headers()
+            self.wfile.write(body.encode())
         else:
             self._send_json(404, {"error": "not found"})
 
@@ -237,15 +307,19 @@ class _Handler(BaseHTTPRequestHandler):
         if path not in ("/v1/audio/transcriptions", "/transcribe"):
             self._send_json(404, {"error": "not found"})
             return
+        metrics = self.service.metrics
         try:
             payload, fields = self._read_request()
         except _TooLarge as exc:
+            metrics.bad_request()
             self._send_json(413, {"error": str(exc)})
             return
         except Exception as exc:  # malformed multipart / body
+            metrics.bad_request()
             self._send_json(400, {"error": f"bad request: {exc}"})
             return
         if not payload:
+            metrics.bad_request()
             self._send_json(400, {"error": "no audio payload ('file' part)"})
             return
 
@@ -259,6 +333,7 @@ class _Handler(BaseHTTPRequestHandler):
                 elif key in _OPTION_PARSERS:
                     options[key] = _OPTION_PARSERS[key](value)
         except (KeyError, ValueError) as exc:
+            metrics.bad_request()
             self._send_json(400, {"error": f"bad option value: {exc}"})
             return
 
@@ -266,12 +341,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._stream_response(payload, options, response_format)
             return
 
+        metrics.start()
+        t0 = time.perf_counter()
         try:
             segments, info = self.service.transcribe_bytes(payload, options)
         except Exception as exc:
+            metrics.finish("error", time.perf_counter() - t0)
             logger.exception("transcription failed")
             self._send_json(500, {"error": str(exc)})
             return
+        metrics.finish(
+            "ok", time.perf_counter() - t0,
+            audio_seconds=float(getattr(info, "duration", 0.0) or 0.0),
+            n_segments=len(segments),
+        )
 
         text = "".join(s.text for s in segments)
         if response_format == "text":
@@ -297,9 +380,13 @@ class _Handler(BaseHTTPRequestHandler):
         after the 200 status can only be signalled in-band (a
         ``transcript.error`` event), as with any SSE stream."""
         verbose = response_format == "verbose_json"
+        metrics = self.service.metrics
+        metrics.start()
+        t0 = time.perf_counter()
         try:
             segments, info = self.service.stream_bytes(payload, options)
         except Exception as exc:
+            metrics.finish("error", time.perf_counter() - t0)
             logger.exception("transcription failed")
             self._send_json(500, {"error": str(exc)})
             return
@@ -315,6 +402,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.flush()
 
         texts = []
+        status = "ok"
         try:
             try:
                 for seg in segments:
@@ -342,11 +430,18 @@ class _Handler(BaseHTTPRequestHandler):
         except BrokenPipeError:
             logger.info("SSE client disconnected mid-stream")
         except Exception as exc:
+            status = "error"
             logger.exception("streaming transcription failed")
             try:
                 emit({"type": "transcript.error", "error": str(exc)})
             except OSError:
                 pass
+        finally:
+            metrics.finish(
+                status, time.perf_counter() - t0,
+                audio_seconds=float(getattr(info, "duration", 0.0) or 0.0),
+                n_segments=len(texts),
+            )
 
     max_body_bytes = 512 * 1024 * 1024  # reject larger uploads with 413
 

@@ -2088,7 +2088,12 @@ class BatchedInferencePipeline:
 
         from faster_whisper_tpu.scheduler import GenKey
 
-        n_chunks = len(chunks_metadata)
+        # Count feature rows, not metadata entries: when the VAD removes
+        # ALL speech, collect_chunks still emits one empty chunk with
+        # metadata (vad.py::collect_chunks, mirroring the reference) but
+        # `features` is [] — submitting that row would encode an empty
+        # batch.  Zero rows -> zero entries -> the generator yields nothing.
+        n_chunks = len(features)
         prompt = self.model.get_prompt(
             tokenizer,
             previous_tokens=(

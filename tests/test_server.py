@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -350,4 +351,71 @@ def test_batcher_shares_batches_across_temperatures():
         assert isinstance(temps, list) and sorted(set(temps)) == [0.3, 0.8]
     finally:
         eng.generate_dispatch = orig
+        batcher.close()
+
+
+def _scrape_metrics(server_url):
+    with urllib.request.urlopen(server_url + "/metrics") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    out = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, value = line.rsplit(" ", 1)
+        out[name] = float(value)
+    return out
+
+
+def test_metrics_endpoint_counts_requests(server_url):
+    before = _scrape_metrics(server_url)
+
+    with _post_multipart(
+        server_url, _wav_bytes(1.0), {"language": "en", "beam_size": "1"}
+    ) as r:
+        n_segments = len(json.load(r).get("segments", []))
+    with pytest.raises(urllib.error.HTTPError):
+        _post_multipart(server_url, b"", {})  # no payload -> 400
+
+    after = _scrape_metrics(server_url)
+    ok = 'fwt_requests_total{status="ok"}'
+    bad = 'fwt_requests_total{status="bad_request"}'
+    assert after[ok] == before.get(ok, 0) + 1
+    assert after[bad] == before.get(bad, 0) + 1
+    assert after["fwt_segments_total"] >= before.get(
+        "fwt_segments_total", 0
+    ) + n_segments
+    assert after["fwt_audio_seconds_total"] > before.get(
+        "fwt_audio_seconds_total", 0
+    )
+    assert after["fwt_request_seconds_total"] > before.get(
+        "fwt_request_seconds_total", 0
+    )
+    assert after["fwt_requests_in_flight"] == 0
+    # the shared ContinuousBatcher's efficiency counters are exported too
+    assert "fwt_batcher_batches_dispatched_total" in after
+    assert "fwt_batcher_chunks_processed_total" in after
+
+
+def test_scheduler_path_all_silence_yields_no_segments():
+    """When the VAD removes all speech, collect_chunks still emits one
+    empty chunk with metadata; the scheduler path must submit zero rows
+    (regression: it used to submit len(chunks_metadata) rows and crash
+    encoding an empty feature list)."""
+    from faster_whisper_tpu.scheduler import ContinuousBatcher
+    from faster_whisper_tpu.transcribe import BatchedInferencePipeline
+
+    model = build_test_model()
+    silence = np.zeros(16000, dtype=np.float32)
+    batcher = ContinuousBatcher(model, max_batch=4)
+    try:
+        pipeline = BatchedInferencePipeline(model, scheduler=batcher)
+        segments, info = pipeline.transcribe(
+            silence, language="en", beam_size=1
+        )
+        assert list(segments) == []
+        assert info.duration_after_vad == 0
+        assert batcher.batches_dispatched == 0
+    finally:
         batcher.close()
