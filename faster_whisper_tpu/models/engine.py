@@ -24,6 +24,7 @@ from faster_whisper_tpu.generation.generate import (
     generate_dispatch,
 )
 from faster_whisper_tpu.generation.processors import TokenMeta
+from faster_whisper_tpu.ops.quant import QuantizedLinear
 from faster_whisper_tpu.models import model as M
 from faster_whisper_tpu.models.config import WhisperConfig
 from faster_whisper_tpu.tokenizer import _LANGUAGE_CODES
@@ -363,7 +364,16 @@ class WhisperEngine:
             # eager reduction on the logits head catches the mispairing at
             # construction instead of as silent garbage transcripts.
             lw = params["decoder"].get("logits_w")
-            if lw is not None and int(jnp.max(jnp.abs(lw.q))) > 7:
+            if not isinstance(lw, QuantizedLinear):
+                # int4=True over an unquantized tree would silently run
+                # full-precision weights: the flag is meaningless without
+                # quantize_params_int4 output.
+                raise ValueError(
+                    "int4=True requires quantized params (decoder.logits_w "
+                    "is missing or not a QuantizedLinear): quantize with "
+                    "ops.quant.quantize_params_int4 (compute_type='int4')"
+                )
+            if int(jnp.max(jnp.abs(lw.q))) > 7:
                 raise ValueError(
                     "int4=True but params are int8-range: quantize with "
                     "ops.quant.quantize_params_int4 (compute_type='int4')"

@@ -391,12 +391,6 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(500, {"error": str(exc)})
             return
 
-        self.send_response(200)
-        self.send_header("Content-Type", "text/event-stream")
-        self.send_header("Cache-Control", "no-store")
-        self.send_header("Connection", "close")
-        self.end_headers()
-
         def emit(obj):
             self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
             self.wfile.flush()
@@ -404,6 +398,15 @@ class _Handler(BaseHTTPRequestHandler):
         texts = []
         status = "ok"
         try:
+            # Header write inside the metrics try: a client that
+            # disconnects before the 200 lands raises BrokenPipeError
+            # here, and the finally below must still run finish() or
+            # fwt_requests_in_flight leaks upward permanently.
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-store")
+            self.send_header("Connection", "close")
+            self.end_headers()
             try:
                 for seg in segments:
                     texts.append(seg.text)

@@ -38,6 +38,7 @@ from faster_whisper_tpu.utils import (
     format_timestamp,
     get_end,
     get_logger,
+    phase_timer,
 )
 from faster_whisper_tpu.vad import (
     SpeechTimestampsMap,
@@ -1640,7 +1641,8 @@ class BatchedInferencePipeline:
                 f"so that their combined length is less that {self.model.max_length}."
             )
 
-        encoder_output = self.model.encode(features)
+        with phase_timer("encode dispatch"):
+            encoder_output = self.model.encode(features)
         prompts = [prompt.copy() for _ in range(batch_size)]
 
         if options.multilingual:
@@ -1652,26 +1654,28 @@ class BatchedInferencePipeline:
             for i, language_token in enumerate(language_tokens):
                 prompts[i][language_token_index] = language_token
 
-        pending = self.model.model.generate_dispatch(
-            encoder_output,
-            prompts,
-            beam_size=options.beam_size,
-            patience=options.patience,
-            length_penalty=options.length_penalty,
-            max_length=max_length,
-            suppress_blank=options.suppress_blank,
-            suppress_tokens=options.suppress_tokens,
-            return_scores=True,
-            return_no_speech_prob=True,
-            sampling_temperature=options.temperatures[0],
-            repetition_penalty=options.repetition_penalty,
-            no_repeat_ngram_size=options.no_repeat_ngram_size,
-        )
+        with phase_timer("decode dispatch"):
+            pending = self.model.model.generate_dispatch(
+                encoder_output,
+                prompts,
+                beam_size=options.beam_size,
+                patience=options.patience,
+                length_penalty=options.length_penalty,
+                max_length=max_length,
+                suppress_blank=options.suppress_blank,
+                suppress_tokens=options.suppress_tokens,
+                return_scores=True,
+                return_no_speech_prob=True,
+                sampling_temperature=options.temperatures[0],
+                repetition_penalty=options.repetition_penalty,
+                no_repeat_ngram_size=options.no_repeat_ngram_size,
+            )
         return encoder_output, pending
 
     def _collect_segment_batch(self, pending, options: TranscriptionOptions):
         """Blocking half: fetch the decoded sequences and unpack."""
-        results = self.model.model.generate_collect(pending)
+        with phase_timer("decode collect"):
+            results = self.model.model.generate_collect(pending)
 
         output = []
         for result in results:
@@ -1769,7 +1773,8 @@ class BatchedInferencePipeline:
         if len(audio) and os.environ.get("FWT_SHARED_UPLOAD", "1") != "0":
             from faster_whisper_tpu.ops.mel import upload_audio
 
-            audio_dev = upload_audio(audio)
+            with phase_timer("pcm upload"):
+                audio_dev = upload_audio(audio)
 
         if not clip_timestamps:
             if vad_filter:
@@ -1784,9 +1789,10 @@ class BatchedInferencePipeline:
                     vad_parameters = VadOptions(
                         **vad_parameters, max_speech_duration_s=chunk_length
                     )
-                clip_timestamps = get_speech_timestamps(
-                    audio, vad_parameters, audio_device=audio_dev
-                )
+                with phase_timer("vad (compile+forward+state machine)"):
+                    clip_timestamps = get_speech_timestamps(
+                        audio, vad_parameters, audio_device=audio_dev
+                    )
             elif duration < chunk_length:
                 clip_timestamps = [{"start": 0, "end": audio.shape[0]}]
             else:
@@ -1844,13 +1850,14 @@ class BatchedInferencePipeline:
                 from faster_whisper_tpu.ops.mel import assemble_segments
 
                 n_total = len(audio)  # numpy slicing clamps; match it
-                base_audio = assemble_segments(
-                    audio_dev,
-                    [
-                        (min(c["start"], n_total), min(c["end"], n_total))
-                        for c in clip_timestamps
-                    ],
-                )
+                with phase_timer("assemble speech concat"):
+                    base_audio = assemble_segments(
+                        audio_dev,
+                        [
+                            (min(c["start"], n_total), min(c["end"], n_total))
+                            for c in clip_timestamps
+                        ],
+                    )
             else:
                 base_audio = (
                     audio_chunks[0]
@@ -1858,9 +1865,10 @@ class BatchedInferencePipeline:
                     else np.concatenate(audio_chunks)
                 )
             chunk_starts = np.concatenate([[0], np.cumsum(chunk_lengths)[:-1]])
-            features = self.model.feature_extractor.chunk_features(
-                base_audio, chunk_starts, chunk_lengths
-            )  # (N, n_mels, 3000) device array, already window-padded
+            with phase_timer("chunked mel features"):
+                features = self.model.feature_extractor.chunk_features(
+                    base_audio, chunk_starts, chunk_lengths
+                )  # (N, n_mels, 3000) device array, already window-padded
         else:
             features = []
 
@@ -2093,7 +2101,13 @@ class BatchedInferencePipeline:
         # metadata (vad.py::collect_chunks, mirroring the reference) but
         # `features` is [] — submitting that row would encode an empty
         # batch.  Zero rows -> zero entries -> the generator yields nothing.
+        # Any OTHER features/metadata length mismatch is a real bug that
+        # the zip below would silently truncate — fail loudly instead.
         n_chunks = len(features)
+        assert n_chunks in (0, len(chunks_metadata)), (
+            n_chunks,
+            len(chunks_metadata),
+        )
         prompt = self.model.get_prompt(
             tokenizer,
             previous_tokens=(

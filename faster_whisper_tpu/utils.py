@@ -76,6 +76,47 @@ def get_logger():
     return logging.getLogger("faster_whisper_tpu")
 
 
+_phase_t0 = None
+
+
+class phase_timer:
+    """Stamped phase logging for cold-start diagnosis, enabled with
+    FWT_PHASE_LOG=1 (bench.py turns it on for the warmup calls).  Each
+    ``with phase_timer("vad"):`` block prints one line to stderr when it
+    closes: elapsed seconds plus the absolute offset since the first
+    phase — so a driver-killed run still shows where the time went
+    (round 4's 1002 s warmup was opaque for exactly this reason)."""
+
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        import time
+
+        global _phase_t0
+        self.t0 = time.perf_counter()
+        if _phase_t0 is None:
+            _phase_t0 = self.t0
+        return self
+
+    def __exit__(self, *exc):
+        if os.environ.get("FWT_PHASE_LOG", "0") == "0":
+            return False
+        import sys
+        import time
+
+        t1 = time.perf_counter()
+        print(
+            f"# phase {self.name}: {t1 - self.t0:.2f}s"
+            f" (at +{t1 - _phase_t0:.1f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        return False
+
+
 _compilation_cache_enabled = False
 
 

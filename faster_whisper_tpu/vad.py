@@ -21,6 +21,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from faster_whisper_tpu.utils import phase_timer
+
 
 @dataclass
 class VadOptions:
@@ -89,7 +91,8 @@ def get_speech_timestamps(
         padded = jnp.pad(audio_device, (0, pad))
     else:
         padded = np.pad(audio, (0, pad))
-    probs = model(padded)
+    with phase_timer("vad forward (compile+exec+probs pull)"):
+        probs = model(padded)
 
     # --- hysteresis state machine over window probabilities ---
     # Native C transliteration first (~24k iterations per 13 minutes of
