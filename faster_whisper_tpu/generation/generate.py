@@ -49,11 +49,6 @@ from faster_whisper_tpu.ops.beam_attention import (
     beam_attend_append_xla,
     cross_attend,
 )
-from faster_whisper_tpu.ops.mega_decoder import (
-    mega_decode_layers,
-    mega_supported,
-    pack_mega,
-)
 from faster_whisper_tpu.ops.quant import (
     QuantizedLinear,
     QuantKV,
@@ -104,13 +99,6 @@ class GenOptions:
     # (ops/beam_attention.py).  On by default on a single TPU chip; the
     # pure-XLA reference runs on CPU and under multi-device meshes.
     fused_attn: bool = False
-    # Whole-decoder megakernel (ops/mega_decoder.py) — EXPERIMENTAL,
-    # default off (see _mega_mode for why it is parked): "on" fuses
-    # every decode-step layer into one pallas_call when fused_attn is
-    # active and the weights are int8; "interpret" forces Pallas
-    # interpret mode on any backend (CPU parity tests).  Set from
-    # FWT_MEGA.  Static so the jit cache keys on it.
-    mega_mode: str = "off"
     # Steps per early-exit check: an inner fori_loop of ``cond_chunk``
     # steps amortizes the data-dependent ``any(~done)`` cond.  Measured
     # on v5e the cond is already free (~0.1 ms/iteration; the suspected
@@ -185,8 +173,6 @@ def _gen_decoder_step(
     cross_v: jax.Array,
     anc: jax.Array,  # (B, K, ctx) ancestry slot map (identity when sampling)
     fused: bool = False,  # static: use the Pallas fused attention kernel
-    mega=None,  # static: MegaWeights -> whole-decoder megakernel path
-    mega_interpret: bool = False,
 ):
     """One decode step over the beam grid.
 
@@ -218,21 +204,6 @@ def _gen_decoder_step(
 
     x0 = dec["token_embed"][token] + dec["pos_embed"][pos]
     x0 = x0.astype(dtype)  # (B, K, d)
-
-    if mega is not None:
-        # Whole-decoder megakernel: every layer of the step in ONE
-        # pallas_call (ops/mega_decoder.py) — removes the ~50 us/call
-        # launch overhead of the per-layer cascade and streams the int8
-        # weights by manual DMA.  Embedding above and the final
-        # layernorm + logits below stay in XLA.
-        x, new_sk, new_sv = mega_decode_layers(
-            x0, pos_row, anc, self_k, self_v, cross_k, cross_v, mega,
-            n_head=n_head, interpret=mega_interpret,
-        )
-        x = layer_norm(x, dec["ln_g"], dec["ln_b"])
-        from faster_whisper_tpu.models.model import _logits
-
-        return _logits(params, x), new_sk, new_sv
 
     def take(w, i):
         return jax.tree.map(
@@ -577,7 +548,6 @@ def beam_search(
         cache0, K, gen_opts.kv_int8,
         cross_qmax=gen_opts.cross_kv_qmax, cross_s4=gen_opts.cross_kv_s4,
     )
-    mega, mega_interpret = _mega_setup(params, gen_opts, config)
 
     # Ancestry slot map: anc[b, k, c] = beam slot holding the K/V written at
     # position c for the chain currently owned by beam k.  Re-parenting
@@ -736,8 +706,7 @@ def beam_search(
         next_logits, self_k_new, self_v_new = _gen_decoder_step(
             params, config, new_tok, write_pos_bk,
             write_pos, self_k, self_v, cross_k, cross_v, anc_new,
-            fused=gen_opts.fused_attn, mega=mega,
-            mega_interpret=mega_interpret,
+            fused=gen_opts.fused_attn,
         )
 
         # ---- stopping ----
@@ -898,7 +867,6 @@ def sample(
         cache0, K, gen_opts.kv_int8,
         cross_qmax=gen_opts.cross_kv_qmax, cross_s4=gen_opts.cross_kv_s4,
     )
-    mega, mega_interpret = _mega_setup(params, gen_opts, config)
     cur_logits = jnp.broadcast_to(first_logits[:, 0][:, None, :], (b, K, V))
 
     # Identity ancestry: each sample attends only its own cache slot.
@@ -1014,8 +982,7 @@ def sample(
             cross_k,
             cross_v,
             anc_id,
-            fused=gen_opts.fused_attn, mega=mega,
-            mega_interpret=mega_interpret,
+            fused=gen_opts.fused_attn,
         )
 
         return (tokens, lens, sum_lp, finished_new, self_k, self_v,
@@ -1088,13 +1055,11 @@ def _ctx_phases(prompt_width: int, ctx_full: int, gen_opts: "GenOptions"):
     ``ctx_full``: start at the smallest 64-step bucket holding the prompt
     plus a decode step, double until the full table.  ``[ctx_full]`` (the
     single-phase loop) when disabled, when the prompt already needs the
-    full table, under cond_chunk (the per-phase step cap must be checked
-    every iteration), or under the experimental megakernel (compiled for
-    one ctx)."""
+    full table, or under cond_chunk (the per-phase step cap must be
+    checked every iteration)."""
     if (
         not gen_opts.multi_phase
         or gen_opts.cond_chunk > 1
-        or gen_opts.mega_mode != "off"
         or ctx_full <= 64
         # The fused Pallas append+attend kernel windows its writes in
         # 8-slot sublanes, so every rung's table size must be 8-aligned;
@@ -1186,65 +1151,6 @@ def _cond_chunk_default() -> int:
 
 
 @functools.lru_cache(maxsize=1)
-def _mega_mode() -> str:
-    """Whole-decoder megakernel mode (ops/mega_decoder.py) — EXPERIMENTAL,
-    default off.  Two findings park it (benchmarks/README.md, round 3):
-    the attached chip's measured stream bandwidth is ~340-410 GB/s (not
-    the 819 GB/s datasheet number earlier floor analyses assumed), which
-    puts the production per-layer decode step within ~10% of the real
-    HBM floor already; and the attached remote-compile toolchain fails
-    on the mega-sized pallas_call inside a lax.while_loop (40+ min then
-    a compiler-helper crash; standalone it compiles in ~75 s).  The
-    kernel stays fully tested against its XLA twin in interpret mode.
-    FWT_MEGA=1 opts in on TPU; FWT_MEGA=interpret forces interpret mode
-    on any backend (CPU parity tests)."""
-    import os
-
-    v = os.environ.get("FWT_MEGA", "0")
-    if v == "1":
-        return "on"
-    if v == "interpret":
-        return "interpret"
-    return "off"
-
-
-def _mega_fits_vmem(params, gen_opts: "GenOptions", config) -> bool:
-    """Conservative VMEM estimate for the megakernel: double-buffered
-    int8 weight scratch + pipeline double-buffers of the (lane-padded)
-    cache blocks must fit under the ~120 MB compiler budget.  Oversized
-    configs (very wide beams x the full 448-ctx bucket) fall back to
-    the per-layer kernels instead of failing Mosaic compilation."""
-    dm = config.n_text_state
-    h = config.n_text_head
-    d_pad = max(128, dm // h)
-    k = gen_opts.beam_size
-    ctx = min(gen_opts.ctx_cap, config.n_text_ctx)
-    t = config.n_audio_ctx
-    ff = 4 * dm
-    wbufs = 2 * (6 * dm * dm + 2 * dm * ff)
-    self_blocks = 2 * 2 * 2 * h * k * ctx * d_pad  # k+v, double-buffered
-    cross_blocks = 2 * 2 * 2 * h * t * d_pad
-    return wbufs + self_blocks + cross_blocks < 112 * 1024 * 1024
-
-
-def _mega_setup(params, gen_opts: "GenOptions", config=None):
-    """Resolve the megakernel path for one generate call: returns
-    (MegaWeights | None, interpret).  Packing runs OUTSIDE the decode
-    loop so XLA materializes the vector table once per call."""
-    if not (gen_opts.kv_int8 and mega_supported(params)):
-        return None, False
-    if gen_opts.w_int4 or gen_opts.cross_kv_s4:
-        # the megakernel's manual weight DMA and cache BlockSpecs are
-        # written for s8 storage; packed-int4 operands are not wired in
-        return None, False
-    if config is not None and not _mega_fits_vmem(params, gen_opts, config):
-        return None, False
-    mode = gen_opts.mega_mode
-    if mode == "interpret":
-        return pack_mega(params), True
-    if mode == "on" and gen_opts.fused_attn:
-        return pack_mega(params), False
-    return None, False
 
 
 @functools.lru_cache(maxsize=1)
@@ -1438,7 +1344,6 @@ def generate_dispatch(
             ctx_cap=ctx_cap,
             kv_int8=kv_int8,
             fused_attn=_fused_attn_default(),
-            mega_mode=_mega_mode(),
             cond_chunk=_cond_chunk_default(),
             multi_phase=_multi_phase_default(),
             w_int4=int4,
@@ -1499,7 +1404,6 @@ def generate_dispatch(
         ctx_cap=ctx_cap,
         kv_int8=kv_int8,
         fused_attn=_fused_attn_default(),
-        mega_mode=_mega_mode(),
         cond_chunk=_cond_chunk_default(),
         multi_phase=_multi_phase_default(),
         w_int4=int4,

@@ -623,8 +623,8 @@ def test_multi_phase_sampling_matches_single_phase(tiny_model, kv_int8):
 def test_ctx_phase_ladder_gating():
     """The ladder must collapse to a single phase whenever its step-cap
     bookkeeping can't be exact (cond_chunk), the table is compiled into a
-    kernel (megakernel), the feature is off, or there is no room below
-    the full table (long prompts, tiny ctx)."""
+    kernel, the feature is off, or there is no room below the full
+    table (long prompts, tiny ctx)."""
     from faster_whisper_tpu.generation.generate import GenOptions, _ctx_phases
 
     on = GenOptions(multi_phase=True)
@@ -636,9 +636,6 @@ def test_ctx_phase_ladder_gating():
     assert _ctx_phases(32, 64, on) == [64]
     assert _ctx_phases(32, 256, GenOptions(multi_phase=False)) == [256]
     assert _ctx_phases(32, 256, GenOptions(multi_phase=True, cond_chunk=4)) == [256]
-    assert _ctx_phases(
-        32, 256, GenOptions(multi_phase=True, mega_mode="interpret")
-    ) == [256]
     # every ladder is ascending and ends at the full table
     for p in (32, 128, 256):
         for ctx in (64, 128, 192, 256, 448):
