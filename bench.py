@@ -128,14 +128,32 @@ def extra_rows(model, batch_size, beam_size):
     only = {
         s.strip() for s in os.environ.get("BENCH_ROWS", "").split(",") if s.strip()
     }
+    # The extras must fit the driver's time budget with margin (round 4
+    # overran it and was killed mid-extras, rc=124): stop STARTING new
+    # rows once the soft tail budget is spent, and print every row as it
+    # lands so a kill can never lose completed measurements.
+    tail_budget = float(os.environ.get("BENCH_TAIL_BUDGET", "600"))
+    t_tail0 = time.perf_counter()
 
     def guard(name, fn):
         if only and name not in only:
             return
+        spent = time.perf_counter() - t_tail0
+        if not only and spent > tail_budget:
+            print(
+                f"# extra row {name!r} skipped: tail budget spent "
+                f"({spent:.0f}s > {tail_budget:.0f}s; raise BENCH_TAIL_BUDGET"
+                f" or select it via BENCH_ROWS)",
+                file=sys.stderr, flush=True,
+            )
+            return
+        before = dict(rows)
         try:
             fn()
         except Exception as exc:  # noqa: BLE001 — tail rows must not kill bench
             rows[f"{name} row failed"] = repr(exc)
+        new = {k: v for k, v in rows.items() if k not in before}
+        print("# extra_row done: " + json.dumps(new), file=sys.stderr, flush=True)
 
     def speech_row():
         speech = synthetic_speech(13 * 60.0, seed=7)
@@ -367,6 +385,13 @@ def extra_rows(model, batch_size, beam_size):
     if os.environ.get("BENCH_COLDSTART", "1") != "0":
 
         def coldstart_row():
+            # FRESH-MACHINE cold start: an empty compilation cache seeded
+            # only by the repo-shipped artifacts/xla_cache — the number a
+            # brand-new deployment pays to its first segment.  Line-item
+            # phases separate environment (device_enum + first_dispatch =
+            # axon session establishment, varies minutes with pool load)
+            # from framework time.
+            env = dict(os.environ, FWT_COLDSTART_FRESH="1")
             proc = subprocess.run(
                 [
                     sys.executable,
@@ -377,12 +402,12 @@ def extra_rows(model, batch_size, beam_size):
                     ),
                 ],
                 cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True, timeout=1800,
+                env=env, capture_output=True, text=True, timeout=1800,
             )
             report = json.loads(proc.stdout)
-            rows["cold start to first segment (warm cache), s"] = report[
-                "total_exec_to_first_segment_s"
-            ]
+            rows["cold start to first segment (fresh machine, shipped artifacts), s"] = (
+                report["total_exec_to_first_segment_s"]
+            )
             rows["cold start phases, s"] = report["phases_s"]
             rows["cold start new cache entries"] = report["new_cache_entries"]
 
@@ -402,24 +427,61 @@ def main():
     # the best-vs-best comparison; BENCH_COMPUTE=default for bf16.
     compute_type = os.environ.get("BENCH_COMPUTE", "int8")
 
+    import threading
+
     import jax
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
+
+    # Pay the backend's one-time first-dispatch/session-establishment cost
+    # (60-700 s on a congested pool) starting NOW, overlapped with model
+    # build and every compile below.
+    def _establish():
+        import jax.numpy as jnp
+
+        t = time.perf_counter()
+        float(jnp.sum(jnp.ones(8, jnp.float32)))
+        print(
+            f"# establish (first blocking dispatch): "
+            f"{time.perf_counter() - t:.1f}s",
+            file=sys.stderr, flush=True,
+        )
+
+    threading.Thread(target=_establish, daemon=True).start()
 
     t0 = time.perf_counter()
     model = build_model(model_name, compute_type)
     audio = load_audio_13min()
     print(f"# setup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # warmup (compiles the mel/VAD/encode/beam programs).  The 65 s pass
-    # compiles the small-bucket programs; the full pass compiles/loads the
-    # 13-min set (24576-window VAD, 32-chunk mel, full-batch pipeline) —
-    # without it, run 1 of the timed set pays program load instead of
-    # measuring the pipeline.
+    # Parallel warm: compile the whole program set on concurrent threads
+    # while a trivial blocking pull pays the backend's one-time session-
+    # establishment cost (round 4's driver warmup was 1002 s because the
+    # same work ran serially behind that establishment on a congested
+    # pool — and was unattributable because nothing was stamped).  Every
+    # leg prints a stamped line as it lands.
+    from faster_whisper_tpu.precompile import warm_parallel
+
+    warm_parallel(
+        model,
+        durations_s=(65.0, len(audio) / 16000),
+        batch_size=batch_size,
+        beam_size=beam_size,
+        max_new_tokens=128,
+        language="en",
+        log=lambda m: print(m, file=sys.stderr, flush=True),
+    )
+
+    # Warmup passes (phase-stamped): everything big is already compiled
+    # by warm_parallel, so these mostly pay first-execution/program-load
+    # of the exact production call graph; the 65 s pass exercises the
+    # small buckets, the full pass the 13-min set.
+    os.environ.setdefault("FWT_PHASE_LOG", "1")
     warm = run_once(model, audio[: 16000 * 65], batch_size, beam_size)
     print(f"# warmup(65s audio): {warm:.2f}s", file=sys.stderr)
     warm = run_once(model, audio, batch_size, beam_size)
     print(f"# warmup(full audio): {warm:.2f}s", file=sys.stderr)
+    os.environ["FWT_PHASE_LOG"] = "0"
 
     times = [run_once(model, audio, batch_size, beam_size) for _ in range(repeats)]
     best = min(times)

@@ -66,6 +66,17 @@ def child() -> None:
     t_main = time.time()
     phases = [("boot", t_main - t_exec)]
 
+    # FWT_COLDSTART_FRESH=1: measure a FRESH-MACHINE cold start — an empty
+    # compilation cache dir seeded only by the repo-shipped artifacts
+    # (artifacts/xla_cache), exactly what a new deployment pays.  Default
+    # (0) measures the warm-persistent-cache restart.
+    if os.environ.get("FWT_COLDSTART_FRESH", "0") == "1":
+        import tempfile
+
+        os.environ["FWT_COMPILE_CACHE"] = tempfile.mkdtemp(
+            prefix="fwt_fresh_cache_"
+        )
+
     def phase(name, fn):
         t0 = time.perf_counter()
         out = fn()
@@ -126,6 +137,16 @@ def child() -> None:
         )
         return next(iter(segs), None)
 
+    if os.environ.get("FWT_COLDSTART_WARM_PARALLEL", "1") == "1":
+        from faster_whisper_tpu.precompile import warm_parallel
+
+        phase(
+            "warm_parallel",
+            lambda: warm_parallel(
+                model, durations_s=(30.0,), batch_size=8, beam_size=5,
+                max_new_tokens=128, language="en",
+            ),
+        )
     phase("first_segment", first_segment)
 
     report = {

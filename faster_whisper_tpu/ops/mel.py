@@ -22,6 +22,7 @@ reference: feature_extractor.py:198-230):
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -234,11 +235,17 @@ def chunked_log_mel(
     n_frames_win: int = 3000,
     padding: int = 160,
     bucket: int = 8,
+    bucket_samples: int = 240 * 16000,
 ) -> jax.Array:
     """(N, n_mels, n_frames_win) per-chunk features, device-resident.
 
-    The chunk count is padded to a bucket multiple so XLA compiles a small
-    number of programs; callers slice [:N].
+    The chunk count is padded to a ``bucket`` multiple and the audio
+    length to a ``bucket_samples`` multiple so XLA compiles a small,
+    *enumerable* set of programs (an exact-length key would compile a new
+    program for every distinct audio duration a deployment sees, and the
+    program set could not be precompiled ahead of the first request);
+    callers slice [:N].  The pad region is zeros past every chunk's
+    ``lengths`` mask, so outputs for real chunks are unchanged.
     """
     n = len(starts)
     n_pad = max(bucket, -(-n // bucket) * bucket)
@@ -248,16 +255,22 @@ def chunked_log_mel(
     lengths_b[:n] = np.minimum(lengths, n_frames_win * hop_length)
 
     tail = n_frames_win * hop_length + n_fft
+    total = max(bucket_samples, -(-(len(audio) + tail) // bucket_samples) * bucket_samples)
     # float32 transport: features feed the model, so they stay bit-exact
     # (int16 transport shifts quiet log-mel bins by ~1e-3); the VAD path
     # uses upload_audio's int16 mode where only threshold decisions matter.
     # An already-on-device audio array (shared with the VAD upload) is
     # tail-padded on device — no second host->device transfer.
     if isinstance(audio, jax.Array):
-        audio_dev = jnp.pad(audio.astype(jnp.float32), (0, tail))
+        audio_dev = jnp.pad(
+            audio.astype(jnp.float32), (0, total - len(audio))
+        )
     else:
         audio_dev = jnp.asarray(
-            np.pad(np.asarray(audio, dtype=np.float32), (0, tail))
+            np.pad(
+                np.asarray(audio, dtype=np.float32),
+                (0, total - len(audio)),
+            )
         )
     out = _chunked_mel_impl(
         audio_dev,
@@ -320,6 +333,11 @@ def assemble_segments(
     total = pos
     if total == 0:
         return jnp.zeros(0, jnp.float32)
+    # Bucket the output length (static in the program) so arbitrary
+    # speech totals reuse a small, precompilable program set; the tail
+    # rows are zero-length masked no-ops so the pad region stays zero.
+    out_bucket = int(os.environ.get("FWT_ASSEMBLE_BUCKET", 120 * 16000))
+    out_len = max(out_bucket, -(-total // out_bucket) * out_bucket)
     nb = max(bucket, -(-len(src) // bucket) * bucket)
     src_b = np.zeros(nb, np.int32)
     dst_b = np.zeros(nb, np.int32)
@@ -333,8 +351,8 @@ def assemble_segments(
         jnp.asarray(dst_b),
         jnp.asarray(len_b),
         seg_cap,
-        total,
-    )
+        out_len,
+    )[:total]
 
 
 def log_mel_spectrogram(

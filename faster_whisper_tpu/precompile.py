@@ -28,6 +28,7 @@ checkpoint access — e.g. in an image build.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -110,6 +111,183 @@ def _harmonic_bursts(seconds: float, sr: int = 16000, seed: int = 0):
         out[t:end] = sig
         t = end + gap
     return out
+
+
+def warm_parallel(
+    model,
+    *,
+    durations_s=(65.0, 780.0),
+    batch_size: int = 8,
+    beam_size: int = 5,
+    max_new_tokens: int = 128,
+    language: str = "en",
+    word_timestamps: bool = False,
+    without_timestamps: bool = True,  # the batched pipeline's default
+    log=None,
+):
+    """Compile the batched pipeline's program set IN PARALLEL and pay the
+    backend's one-time first-dispatch cost concurrently with it.
+
+    Two measured facts shape this (see benchmarks/README.md cold-start
+    rows): (1) compiles issued from separate threads overlap near-
+    perfectly through the remote-compile relay (4x6 s compiles finish in
+    ~8.5 s), and (2) the first *blocking* execution on a fresh backend
+    session pays a large one-time establishment cost (60-700 s on a
+    congested pool) after which further first-executions are ~free.  A
+    serial warmup therefore costs sum(compiles) + establishment; this
+    function costs ~max(slowest compile, establishment).
+
+    Uses REAL calls on zero-filled inputs at the exact production shape
+    buckets, so both the in-process jit caches and the persistent
+    compilation cache end up populated.  Every sub-warm is stamped via
+    ``log`` so a partial (killed) run still shows what finished.
+    """
+    import threading
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from faster_whisper_tpu.tokenizer import Tokenizer
+    from faster_whisper_tpu.transcribe import get_suppressed_tokens
+
+    eng = model.model
+    fe = model.feature_extractor
+    say = log or (lambda msg: None)
+    t0 = _time.perf_counter()
+    failures = []
+
+    def run(name, fn):
+        def wrapped():
+            t1 = _time.perf_counter()
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001 — warm must not kill serving
+                failures.append((name, repr(exc)))
+                say(f"# warm {name} FAILED: {exc!r}")
+                return
+            t2 = _time.perf_counter()
+            say(
+                f"# warm {name}: {t2 - t1:.1f}s (at +{t2 - t0:.1f}s)"
+            )
+
+        t = threading.Thread(target=wrapped, name=f"warm-{name}", daemon=True)
+        t.start()
+        return t
+
+    def establish():
+        # One tiny blocking pull: forces backend session / executable
+        # stream establishment so the pipeline's first real pull is warm.
+        float(jnp.sum(jnp.ones(8, jnp.float32)))
+
+    def vad_warm():
+        from faster_whisper_tpu.vad import get_vad_model
+
+        vad = get_vad_model()
+        buckets = sorted(
+            {
+                max(2048, -(-int(d * 16000 / 512) // 2048) * 2048)
+                for d in durations_s
+            }
+        )
+        for nb in buckets:
+            vad(np.zeros(nb * 512, np.float32))
+
+    def mel_warm():
+        win_samples = fe.nb_max_frames * fe.hop_length
+        tail = win_samples + fe.n_fft
+        mel_bucket = 240 * 16000
+        combos = set()
+        for d in durations_s:
+            n_samples = int(d * 16000)
+            n_chunks = -(-n_samples // win_samples)
+            n_bucket = max(8, -(-n_chunks // 8) * 8)
+            l_bucket = max(
+                mel_bucket, -(-(n_samples + tail) // mel_bucket) * mel_bucket
+            )
+            combos.add((l_bucket, n_bucket))
+            # after-VAD concat is shorter than the raw duration, so the
+            # real call may land one bucket below either axis
+            if l_bucket > mel_bucket:
+                combos.add((l_bucket - mel_bucket, n_bucket))
+            if n_bucket > 8:
+                combos.add((l_bucket, n_bucket - 8))
+                combos.add((l_bucket - mel_bucket, n_bucket - 8))
+        for l_bucket, n_bucket in sorted(combos):
+            starts = np.zeros(n_bucket, np.int64)
+            lengths = np.full(n_bucket, win_samples, np.int64)
+            fe.chunk_features(
+                np.zeros(l_bucket - tail, np.float32), starts, lengths
+            )
+
+    # The pipeline buckets the batch axis to powers of two (transcribe.py
+    # _dispatch_segment_batch), so {1, 2, 4, ..., batch_size} is the
+    # COMPLETE decode-program set for this configuration — the VAD's
+    # data-dependent chunk count can never produce a batch outside it.
+    # log2(batch_size)+1 programs, compiled concurrently.
+    b_set = {batch_size}
+    b = 1
+    while b < batch_size:
+        b_set.add(b)
+        b *= 2
+
+    def decode_warm(b):
+        # encode + the production beam program (and the align pass when
+        # word_timestamps), with the EXACT static args production uses:
+        # the resolved suppress set, prompt bucket, and timestamp flag
+        # select the program (a mismatched warm compiles a dead program).
+        tokenizer = Tokenizer(
+            model.hf_tokenizer,
+            eng.is_multilingual,
+            task="transcribe",
+            language=language,
+        )
+        suppress = get_suppressed_tokens(tokenizer, [-1])
+        prompt = model.get_prompt(
+            tokenizer, previous_tokens=[],
+            without_timestamps=without_timestamps,
+        )
+        mel = np.zeros((b, eng.config.n_mels, fe.nb_max_frames), np.float32)
+        xa = eng.encode(mel)
+        max_len = min(len(prompt) + max_new_tokens, model.max_length)
+        eng.generate(
+            xa,
+            [list(prompt)] * b,
+            beam_size=beam_size,
+            patience=1,
+            length_penalty=1,
+            repetition_penalty=1,
+            no_repeat_ngram_size=0,
+            max_length=max_len,
+            return_scores=True,
+            return_no_speech_prob=True,
+            suppress_blank=True,
+            suppress_tokens=suppress,
+            max_initial_timestamp_index=50,
+            sampling_temperature=0.0,
+        )
+        if word_timestamps:
+            eng.align(
+                xa,
+                list(tokenizer.sot_sequence),
+                [[tokenizer.timestamp_begin]] * b,
+                [fe.nb_max_frames] * b,
+                median_filter_width=7,
+            )
+
+    threads = [
+        run("establish (first blocking dispatch)", establish),
+        run("vad buckets", vad_warm),
+        run("mel buckets", mel_warm),
+    ] + [
+        run(f"encode+beam B={b}", functools.partial(decode_warm, b))
+        for b in sorted(b_set)
+    ]
+    for t in threads:
+        t.join()
+    say(f"# warm_parallel total: {_time.perf_counter() - t0:.1f}s")
+    return failures
 
 
 def build_model(args):

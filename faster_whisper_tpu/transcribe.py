@@ -147,6 +147,7 @@ class WhisperModel:
         revision: Optional[str] = None,
         use_auth_token: Optional[Union[str, bool]] = None,
         tensor_parallel: int = 1,
+        int4_group_size: Optional[int] = None,
         **model_kwargs,
     ):
         """Initializes the Whisper model.
@@ -214,7 +215,7 @@ class WhisperModel:
         elif compute_type == "int4":
             from faster_whisper_tpu.ops.quant import quantize_params_int4
 
-            params = quantize_params_int4(params)
+            params = quantize_params_int4(params, group_size=int4_group_size)
 
         import tokenizers
 
@@ -333,6 +334,7 @@ class WhisperModel:
         compute_type: str = "default",
         device_index: Union[int, List[int]] = 0,
         tensor_parallel: int = 1,
+        int4_group_size: Optional[int] = None,
     ) -> "WhisperModel":
         """Build a WhisperModel from in-memory pieces (tests, benchmarks,
         converted checkpoints) without touching the filesystem."""
@@ -346,7 +348,7 @@ class WhisperModel:
         elif compute_type == "int4":
             from faster_whisper_tpu.ops.quant import quantize_params_int4
 
-            params = quantize_params_int4(params)
+            params = quantize_params_int4(params, group_size=int4_group_size)
         self.hf_tokenizer = hf_tokenizer
 
         from faster_whisper_tpu.models.engine import WhisperEngine
@@ -1604,10 +1606,20 @@ class BatchedInferencePipeline:
         the device finishes, so the caller can pipeline)."""
         batch_size = features.shape[0]
         # Pad a trailing partial batch up to the bucket the full batches
-        # already compiled for: reusing one XLA program beats compiling a
-        # second one for the tail (the dummy rows' outputs are dropped).
+        # already compiled for (reusing one XLA program beats compiling a
+        # second one for the tail), and otherwise bucket the batch axis to
+        # the next power of two: an exact-B key would compile one beam
+        # program per request size a deployment sees (a 40-700 s cold
+        # compile each, unwarmable because unenumerable), while pow2
+        # buckets waste at most B-1 padded rows and make the program set
+        # {1,2,4,...,batch_size} precompilable (precompile.warm_parallel).
+        # The dummy rows' outputs are dropped at unpack.
         pad_to = getattr(self, "_batch_bucket", None)
-        if pad_to is not None and 0 < batch_size < pad_to:
+        if pad_to is None or batch_size >= pad_to:
+            pad_to = 1
+            while pad_to < batch_size:
+                pad_to *= 2
+        if 0 < batch_size < pad_to:
             import jax.numpy as jnp
 
             reps = [features[-1:]] * (pad_to - batch_size)

@@ -164,6 +164,47 @@ def ensure_tpu_accelerator_type(argv=None):
     os.execv(sys.executable, [sys.executable] + list(argv))
 
 
+def _seed_cache_from_artifacts(cache_dir: str) -> int:
+    """Copy repo-shipped precompiled-program artifacts into the live
+    compilation cache (fresh-machine cold-start aid: a cache entry loads
+    in ~2 s where a cold compile takes 5-700 s through the remote-compile
+    relay).  Artifacts live in ``artifacts/xla_cache/`` next to the
+    package as zstd/gzip-compressed cache entries named exactly like the
+    uncompressed keys.  A stale artifact (key mismatch after a
+    jaxlib/backend change) is simply never looked up — worst case is
+    wasted disk, never wrong results (the key covers program + versions).
+    Returns the number of entries seeded."""
+    art_dir = os.environ.get(
+        "FWT_CACHE_ARTIFACTS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", "artifacts", "xla_cache"),
+    )
+    if not os.path.isdir(art_dir):
+        return 0
+    import gzip
+    import shutil
+
+    n = 0
+    for name in os.listdir(art_dir):
+        src = os.path.join(art_dir, name)
+        opener, dst_name = open, name
+        if name.endswith(".gz"):
+            opener, dst_name = gzip.open, name[:-3]
+        if not dst_name.endswith("-cache"):
+            continue
+        dst = os.path.join(cache_dir, dst_name)
+        if os.path.exists(dst):
+            continue
+        try:
+            with opener(src, "rb") as f_in, open(dst + ".tmp", "wb") as f_out:
+                shutil.copyfileobj(f_in, f_out)
+            os.replace(dst + ".tmp", dst)
+            n += 1
+        except OSError:  # read-only cache dir, torn artifact, ...
+            continue
+    return n
+
+
 def enable_compilation_cache(path: Optional[str] = None):
     """Enable JAX's persistent compilation cache so the handful of programs
     this library compiles (mel, VAD, encode, prefill, decode-loop per
@@ -192,6 +233,14 @@ def enable_compilation_cache(path: Optional[str] = None):
         return
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
+    # By default jax points XLA's per-fusion autotune cache INTO the
+    # compilation-cache dir, which bakes the cache-dir *path* into
+    # compile_options and therefore into every cache key — two machines
+    # (or two dirs) never share entries.  The autotune cache is a GPU
+    # feature (dead weight on TPU): disable it so keys are
+    # path-independent and baked cache artifacts are portable.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    _seed_cache_from_artifacts(path)
     # Tests override the floor to 0 so even sub-second (CPU tiny-model)
     # programs land in the cache and zero-new-compiles can be asserted.
     jax.config.update(
