@@ -16,6 +16,8 @@ Everything is expressed as plain XLA ops (round/clip/dot_general with
 int32 accumulation) so the quantize -> dot -> rescale chain fuses.
 """
 
+import functools
+
 from typing import NamedTuple, Optional
 
 import jax
@@ -23,10 +25,13 @@ import jax.numpy as jnp
 
 
 class QuantizedLinear(NamedTuple):
-    """An int8 weight matrix with per-output-channel scales.
+    """An int8 weight matrix with per-output-channel (or group-wise)
+    scales.
 
-    q: (..., in, out) int8, s: (..., out) f32.  Registered as a pytree
-    (NamedTuple), so stacked-layer leaves scan transparently.
+    q: (..., in, out) int8; s: (..., out) f32 per-output-channel, or
+    (..., in/G, out) f32 for group-wise scales over in-dim groups of G
+    (``s.ndim == q.ndim`` marks the group-wise form).  Registered as a
+    pytree (NamedTuple), so stacked-layer leaves scan transparently.
     """
 
     q: jax.Array
@@ -34,18 +39,40 @@ class QuantizedLinear(NamedTuple):
 
 
 def quantize_weight(
-    w: jax.Array, axis: int = -2, qmax: int = 127
+    w: jax.Array, axis: int = -2, qmax: int = 127,
+    group_size: Optional[int] = None,
 ) -> QuantizedLinear:
     """Symmetric per-output-channel quantization of an (..., in, out)
     weight; ``axis`` is the contraction (input) dimension.  ``qmax=7``
     produces 4-bit-range values (still stored int8 — the packed int4
     copy is materialized inside the decode program, see
-    generation/generate.py::_pack_int4_weights)."""
+    generation/generate.py::_pack_int4_weights).
+
+    ``group_size=G`` quantizes with one scale per (in-dim group of G,
+    output channel) instead of per output channel: at 4-bit range a
+    single outlier in a column costs the whole column its resolution,
+    and group-wise scales bound that loss to one G-row group (the
+    standard W4 mitigation; CT2 has no 4-bit type to compare against).
+    Requires ``axis=-2`` (the layout every Whisper matmul here uses).
+    """
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    if group_size is None:
+        amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+        scale = jnp.maximum(amax / float(qmax), 1e-10)
+        q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
+        return QuantizedLinear(q=q, s=jnp.squeeze(scale, axis=axis))
+
+    assert axis in (-2, wf.ndim - 2), "group-wise scales assume (..., in, out)"
+    d_in, d_out = wf.shape[-2], wf.shape[-1]
+    assert d_in % group_size == 0, (d_in, group_size)
+    n_g = d_in // group_size
+    wg = wf.reshape(*wf.shape[:-2], n_g, group_size, d_out)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # (..., nG, 1, out)
     scale = jnp.maximum(amax / float(qmax), 1e-10)
-    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
-    return QuantizedLinear(q=q, s=jnp.squeeze(scale, axis=axis))
+    q = jnp.clip(jnp.round(wg / scale), -qmax, qmax).astype(jnp.int8)
+    return QuantizedLinear(
+        q=q.reshape(wf.shape), s=jnp.squeeze(scale, axis=-2)
+    )
 
 
 def int8_dense(
@@ -62,19 +89,42 @@ def int8_dense(
     sx = jnp.maximum(sx, 1e-10)
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
-    acc = jax.lax.dot_general(
-        xq,
-        w.q,
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = acc.astype(jnp.float32) * sx * w.s
+    if w.s.ndim == w.q.ndim:
+        # group-wise scales: batch the s8 x s8 dot over the in-dim
+        # groups, rescale each group's int32 partial by its own scale,
+        # then reduce over groups in f32.  Dense sites always see a
+        # single layer's (in, out) matrix (stacked-layer leaves are
+        # sliced before the dense).
+        assert w.q.ndim == 2, w.q.shape
+        n_g = w.s.shape[-2]
+        d_in, d_out = w.q.shape[-2], w.q.shape[-1]
+        g = d_in // n_g
+        xg = xq.reshape(*xq.shape[:-1], n_g, g)
+        qg = w.q.reshape(n_g, g, d_out)
+        acc = jax.lax.dot_general(
+            xg,
+            qg,
+            dimension_numbers=(((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (nG, ..., out)
+        s = w.s.reshape(n_g, *([1] * (acc.ndim - 2)), d_out)
+        y = jnp.sum(acc.astype(jnp.float32) * s, axis=0) * sx
+    else:
+        acc = jax.lax.dot_general(
+            xq,
+            w.q,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * sx * w.s
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype or x.dtype)
 
 
-def _quantize_params(params: dict, dec_qmax: int) -> dict:
+def _quantize_params(
+    params: dict, dec_qmax: int, group_size: Optional[int] = None
+) -> dict:
     """Quantize every transformer-layer matmul weight in a Whisper param
     tree to QuantizedLinear (embeddings, conv stem, and layernorms stay
     in their original dtype).  The tied output projection additionally
@@ -89,22 +139,28 @@ def _quantize_params(params: dict, dec_qmax: int) -> dict:
     int8 range — encode is MXU-compute-bound, so narrower storage buys
     nothing there while the decode loop is weight-stream-bound."""
 
+    def qw(w, qmax):
+        # group-wise scales apply only to the 4-bit-range weights (the
+        # encoder stays at int8 range, where per-channel is enough)
+        gs = group_size if qmax < 127 else None
+        return quantize_weight(w, qmax=qmax, group_size=gs)
+
     def quant_attn(p, qmax):
         return {
-            "wq": quantize_weight(p["wq"], qmax=qmax),
+            "wq": qw(p["wq"], qmax),
             "bq": p["bq"],
-            "wk": quantize_weight(p["wk"], qmax=qmax),
-            "wv": quantize_weight(p["wv"], qmax=qmax),
+            "wk": qw(p["wk"], qmax),
+            "wv": qw(p["wv"], qmax),
             "bv": p["bv"],
-            "wo": quantize_weight(p["wo"], qmax=qmax),
+            "wo": qw(p["wo"], qmax),
             "bo": p["bo"],
         }
 
     def quant_mlp(p, qmax):
         return {
-            "w1": quantize_weight(p["w1"], qmax=qmax),
+            "w1": qw(p["w1"], qmax),
             "b1": p["b1"],
-            "w2": quantize_weight(p["w2"], qmax=qmax),
+            "w2": qw(p["w2"], qmax),
             "b2": p["b2"],
         }
 
@@ -121,8 +177,8 @@ def _quantize_params(params: dict, dec_qmax: int) -> dict:
     dec_layers["mlp"] = quant_mlp(dec_layers["mlp"], dec_qmax)
     out["decoder"] = dict(params["decoder"])
     out["decoder"]["layers"] = dec_layers
-    out["decoder"]["logits_w"] = quantize_weight(
-        jnp.transpose(params["decoder"]["token_embed"]), qmax=dec_qmax
+    out["decoder"]["logits_w"] = qw(
+        jnp.transpose(params["decoder"]["token_embed"]), dec_qmax
     )
     return out
 
@@ -140,15 +196,20 @@ def quantize_params(params: dict) -> dict:
     return _quantize_params(params, 127)
 
 
-@jax.jit
-def quantize_params_int4(params: dict) -> dict:
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def quantize_params_int4(params: dict, group_size=None) -> dict:
     """``compute_type="int4"``: decoder matmuls + logits head at 4-bit
     range (values in [-7, 7], int8 storage — S4 cannot cross the jit
     dispatch boundary on all runtimes), encoder at int8 range.  The
     decode program converts the decoder weights to packed int4 HBM
     temps once per call (generation/generate.py::_pack_int4_weights)
-    so every decode step streams half the weight bytes."""
-    return _quantize_params(params, 7)
+    so every decode step streams half the weight bytes.
+
+    ``group_size`` (e.g. 64/128) selects group-wise scales over in-dim
+    groups for the 4-bit weights — the fallback scheme if per-channel
+    int4 costs WER when real weights can be evaluated (4-bit accuracy is
+    unvalidatable offline; see quantize_weight)."""
+    return _quantize_params(params, 7, group_size)
 
 
 # ---------------------------------------------------------------------------

@@ -213,3 +213,125 @@ def test_int4_end_to_end_pipeline():
 
     rep = model.model.memory_report(batch_size=1, beam_size=2, max_new_tokens=8)
     assert rep["weights_bytes"] > 0
+
+
+def test_quantize_int4_group_scales_shapes_and_error():
+    """group_size=G: one scale per (in-group, out channel) on the 4-bit
+    weights; group-wise dequant error is never worse than per-channel
+    (it can only tighten the per-group range)."""
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((64, 48)), jnp.float32)
+    # plant an outlier so per-channel scales visibly lose resolution
+    w = w.at[0, 0].set(40.0)
+
+    from faster_whisper_tpu.ops.quant import quantize_weight
+
+    per_ch = quantize_weight(w, qmax=7)
+    grouped = quantize_weight(w, qmax=7, group_size=16)
+    assert grouped.q.shape == (64, 48)
+    assert grouped.s.shape == (4, 48)
+    assert int(jnp.max(jnp.abs(grouped.q))) <= 7
+
+    def dequant(ql):
+        if ql.s.ndim == ql.q.ndim:
+            qg = np.asarray(ql.q, np.float32).reshape(4, 16, 48)
+            return (qg * np.asarray(ql.s)[:, None, :]).reshape(64, 48)
+        return np.asarray(ql.q, np.float32) * np.asarray(ql.s)
+
+    err_ch = np.abs(dequant(per_ch) - np.asarray(w)).mean()
+    err_g = np.abs(dequant(grouped) - np.asarray(w)).mean()
+    assert err_g <= err_ch
+    # the outlier column: group scales confine the damage to group 0
+    col_ch = np.abs(dequant(per_ch)[16:, 0] - np.asarray(w)[16:, 0]).mean()
+    col_g = np.abs(dequant(grouped)[16:, 0] - np.asarray(w)[16:, 0]).mean()
+    assert col_g < col_ch
+
+
+def test_int8_dense_group_scales_match_per_channel_at_equal_scales():
+    """When every in-group shares the column's amax, group-wise and
+    per-channel quantization produce the same q and the grouped dot must
+    reproduce the per-channel result exactly (int32 accumulation; the
+    f32 group-sum is exact for these small integers)."""
+    from faster_whisper_tpu.ops.quant import int8_dense, quantize_weight
+
+    rng = np.random.default_rng(4)
+    # values on a +-7 integer grid scaled by a per-column constant ->
+    # both schemes quantize losslessly with identical scales
+    base = rng.integers(-7, 8, size=(32, 24)).astype(np.float32)
+    base[0, :] = 7.0  # pin every column's amax into group 0
+    base[16, :] = 7.0  # ... and group 1
+    col_scale = rng.uniform(0.5, 2.0, size=(1, 24)).astype(np.float32)
+    w = jnp.asarray(base * col_scale)
+
+    per_ch = quantize_weight(w, qmax=7)
+    grouped = quantize_weight(w, qmax=7, group_size=16)
+    np.testing.assert_array_equal(np.asarray(per_ch.q), np.asarray(grouped.q))
+
+    x = jnp.asarray(rng.standard_normal((5, 32)), jnp.float32)
+    y_ch = int8_dense(x, per_ch)
+    y_g = int8_dense(x, grouped)
+    np.testing.assert_allclose(
+        np.asarray(y_ch), np.asarray(y_g), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_beam_int4_group_storage_bit_identical():
+    """Packed-int4 storage stays a numeric no-op under group-wise scales
+    (the pack touches q only; the grouped dense reads the same s)."""
+    cfg = tiny_test_config()
+    params = quantize_params_int4(
+        random_params(cfg, dtype="float32", seed=5), group_size=16
+    )
+    # group-wise s carries one extra dim on the 4-bit decoder weights
+    s = params["decoder"]["layers"]["mlp"]["w1"].s
+    q = params["decoder"]["layers"]["mlp"]["w1"].q
+    assert s.ndim == q.ndim, (s.shape, q.shape)
+
+    meta = TokenMeta(
+        eot=cfg.n_vocab - 1,
+        timestamp_begin=cfg.n_vocab - 10,
+        no_timestamps=cfg.n_vocab - 11,
+        no_speech=cfg.n_vocab - 12,
+        blank=(220,),
+        vocab_size=cfg.n_vocab,
+    )
+    proc = ProcessorOptions(with_timestamps=False)
+    rng = np.random.default_rng(5)
+    xa = jnp.asarray(
+        rng.standard_normal((2, cfg.n_audio_ctx, cfg.n_audio_state)),
+        jnp.bfloat16,
+    ) * 0.1
+    prompt = jnp.asarray([[1, 2, 3, 0]] * 2, jnp.int32)
+    prompt_len = jnp.asarray([3] * 2, jnp.int32)
+    sot_pos = jnp.asarray([0] * 2, jnp.int32)
+
+    outs = {}
+    for s4 in (False, True):
+        opts = _opts(False, w_int4=s4, cross_kv_qmax=7, cross_kv_s4=s4)
+        outs[s4] = beam_search(
+            params, cfg, opts, proc, meta, xa, prompt, prompt_len,
+            sot_pos, jnp.asarray(16, jnp.int32),
+        )
+    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int4_group_end_to_end_pipeline():
+    from faster_whisper_tpu.testing import build_synthetic_tokenizer
+    from faster_whisper_tpu.transcribe import WhisperModel
+
+    cfg = tiny_test_config()
+    model = WhisperModel.from_parts(
+        random_params(cfg, dtype="float32", seed=6),
+        cfg,
+        build_synthetic_tokenizer(),
+        compute_type="int4",
+        int4_group_size=16,
+    )
+    rng = np.random.default_rng(6)
+    audio = rng.standard_normal(16000 * 4).astype(np.float32) * 0.1
+    segments, info = model.transcribe(
+        audio, language="en", beam_size=2, max_new_tokens=8
+    )
+    for s in segments:
+        assert s.end >= s.start
