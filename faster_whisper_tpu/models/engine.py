@@ -647,12 +647,35 @@ class WhisperEngine:
         ``num_frames`` is an int or per-item list of content frame counts
         (mel frames; encoder states cover num_frames // 2).
         """
+        return self.align_collect(
+            self.align_dispatch(
+                encoder_output,
+                start_sequence,
+                text_tokens,
+                num_frames,
+                median_filter_width=median_filter_width,
+            )
+        )
+
+    def align_dispatch(
+        self,
+        encoder_output: jax.Array,
+        start_sequence: Sequence[int],
+        text_tokens: List[List[int]],
+        num_frames,
+        median_filter_width: int = 7,
+    ):
+        """Async half of ``align``: enqueues the device program and starts
+        the device->host copies, so the caller can queue more device work
+        (e.g. the next batch's decode) before blocking in
+        ``align_collect`` — the ~6 MB matrix pull then overlaps device
+        compute instead of idling the chip (measured ~0.3 s per batch-8
+        call on the tunneled link, benchmarks/profile_align.py)."""
         b = len(text_tokens)
         if isinstance(num_frames, int):
             num_frames = [num_frames] * b
         assert encoder_output.shape[0] == b
 
-        sot_len = len(start_sequence)
         prefix = list(start_sequence) + [self.meta.no_timestamps]
         seqs = [prefix + list(t) + [self.meta.eot] for t in text_tokens]
         max_len = max(len(s) for s in seqs)
@@ -663,8 +686,8 @@ class WhisperEngine:
 
         heads = self._alignment_heads()
         # Probabilities + the DTW input matrix reduce ON DEVICE in one
-        # program (_align_forward_post); only (B, S) + (B, S, T) cross
-        # the link.
+        # program (_align_forward_post); only (B, S) + the text-row slice
+        # of the (B, S, T) matrix cross the link.
         start = len(prefix) - 1
         n_rows = np.array(
             [min(len(t) + 1, pad_to - start) for t in text_tokens], np.int32
@@ -684,6 +707,22 @@ class WhisperEngine:
             eot=int(self.meta.eot),
             median_width=int(median_filter_width),
         )
+        # Only rows [start, start + max(n_rows)) feed the DTW — slicing on
+        # device cuts the pull by the prompt/padding share (~1/3).
+        max_rows = int(n_rows.max()) if b else 0
+        matrix_d = jax.lax.dynamic_slice_in_dim(
+            matrix_d, start, max(max_rows, 1), axis=1
+        )
+        for a in (probs_d, matrix_d):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:  # older jax / non-PJRT arrays
+                break
+        return (probs_d, matrix_d, start, text_tokens, tfr)
+
+    def align_collect(self, pending) -> List[AlignmentResult]:
+        """Blocking half of ``align``: pull + native DTW + unpack."""
+        probs_d, matrix_d, start, text_tokens, tfr = pending
         probs = np.asarray(probs_d)
         matrix = np.asarray(matrix_d)
 
@@ -696,7 +735,7 @@ class WhisperEngine:
 
             text_token_probs = probs[i, start : start + n_text].tolist()
 
-            m = matrix[i, start : start + n_text + 1, : tfr[i]]
+            m = matrix[i, : n_text + 1, : tfr[i]]
             text_idx, time_idx = dtw_path(-m.astype(np.float64))
             alignments = list(zip(text_idx.tolist(), time_idx.tolist()))
             results.append(AlignmentResult(text_token_probs, alignments))

@@ -1261,8 +1261,34 @@ class WhisperModel:
         append_punctuations: str,
         last_speech_timestamp: float,
     ) -> float:
-        if len(segments) == 0:
+        state = self.add_word_timestamps_dispatch(
+            segments, tokenizer, encoder_output, num_frames
+        )
+        if state is None:
             return
+        return self.add_word_timestamps_collect(
+            state,
+            segments,
+            prepend_punctuations,
+            append_punctuations,
+            last_speech_timestamp,
+        )
+
+    def add_word_timestamps_dispatch(
+        self,
+        segments: List[List[dict]],
+        tokenizer: Tokenizer,
+        encoder_output,
+        num_frames,
+    ):
+        """Async half of ``add_word_timestamps``: enqueues the align
+        device program + device->host copies and returns an opaque state
+        for ``add_word_timestamps_collect``.  The split lets the batched
+        pipeline queue the NEXT batch's decode before blocking on the
+        align pull, so the transfer overlaps device compute (see
+        engine.align_dispatch)."""
+        if len(segments) == 0:
+            return None
 
         text_tokens = []
         text_tokens_per_segment = []
@@ -1274,8 +1300,34 @@ class WhisperModel:
             text_tokens.append(list(itertools.chain.from_iterable(segment_tokens)))
             text_tokens_per_segment.append(segment_tokens)
 
-        alignments = self.find_alignment(
-            tokenizer, text_tokens, encoder_output, num_frames
+        pending = (
+            self.model.align_dispatch(
+                encoder_output,
+                tokenizer.sot_sequence,
+                text_tokens,
+                num_frames,
+                median_filter_width=7,
+            )
+            if len(text_tokens)
+            else None
+        )
+        return (pending, tokenizer, text_tokens, text_tokens_per_segment)
+
+    def add_word_timestamps_collect(
+        self,
+        state,
+        segments: List[List[dict]],
+        prepend_punctuations: str,
+        append_punctuations: str,
+        last_speech_timestamp: float,
+    ) -> float:
+        pending, tokenizer, text_tokens, text_tokens_per_segment = state
+        alignments = (
+            self._alignment_words(
+                tokenizer, self.model.align_collect(pending), text_tokens
+            )
+            if pending is not None
+            else []
         )
         median_max_durations = []
         for alignment in alignments:
@@ -1392,7 +1444,16 @@ class WhisperModel:
             num_frames,
             median_filter_width=median_filter_width,
         )
+        return self._alignment_words(tokenizer, results, text_tokens)
 
+    def _alignment_words(
+        self,
+        tokenizer: Tokenizer,
+        results,
+        text_tokens: List[List[int]],
+    ) -> List[dict]:
+        """Alignment results -> per-item word dicts (the host half of
+        find_alignment, reference: transcribe.py:1716-1766)."""
         return_list = []
         for result, text_token in zip(results, text_tokens):
             text_token_probs = result.text_token_probs
@@ -1529,7 +1590,8 @@ class BatchedInferencePipeline:
         )
 
     def _forward_collect(
-        self, encoder_output, pending, tokenizer, chunks_metadata, options
+        self, encoder_output, pending, tokenizer, chunks_metadata, options,
+        dispatch_hook=None,
     ):
         outputs = self._collect_segment_batch(pending, options)
 
@@ -1572,15 +1634,28 @@ class BatchedInferencePipeline:
             )
 
         if options.word_timestamps:
-            self.last_speech_timestamp = self.model.add_word_timestamps(
+            state = self.model.add_word_timestamps_dispatch(
                 segmented_outputs,
                 tokenizer,
                 encoder_output[: len(segment_sizes)],
                 segment_sizes,
-                options.prepend_punctuations,
-                options.append_punctuations,
-                self.last_speech_timestamp,
             )
+            # The align program + its device->host copies are queued: let
+            # the generator dispatch the NEXT batch's decode now, so the
+            # align matrix pull below overlaps device compute instead of
+            # idling the chip (~0.3 s per batch on the tunneled link).
+            if dispatch_hook is not None:
+                dispatch_hook()
+            if state is not None:
+                self.last_speech_timestamp = self.model.add_word_timestamps_collect(
+                    state,
+                    segmented_outputs,
+                    options.prepend_punctuations,
+                    options.append_punctuations,
+                    self.last_speech_timestamp,
+                )
+        elif dispatch_hook is not None:
+            dispatch_hook()
 
         return segmented_outputs
 
@@ -2044,30 +2119,42 @@ class BatchedInferencePipeline:
             if len(features) > batch_size and tail >= batch_size // 2
             else None
         )
-        in_flight = None  # (start, encoder_output, pending)
+        from collections import deque
 
-        def dispatch(start):
-            enc, pending = self._dispatch_segment_batch(
-                features[start : start + batch_size], tokenizer, options
-            )
-            return start, enc, pending
+        in_flight = deque()  # (start, encoder_output, pending)
+        next_idx = 0
 
-        if starts:
-            in_flight = dispatch(starts[0])
+        def dispatch_next():
+            # Queue the next undispatched batch's encode+decode.  Called
+            # (a) once per loop iteration for 1-deep decode pipelining and
+            # (b) from inside _forward_collect right after the align
+            # program is enqueued, giving the device work to run under
+            # the align matrix pull (2-deep when word_timestamps).
+            nonlocal next_idx
+            if next_idx < len(starts):
+                start = starts[next_idx]
+                next_idx += 1
+                enc, pending = self._dispatch_segment_batch(
+                    features[start : start + batch_size], tokenizer, options
+                )
+                in_flight.append((start, enc, pending))
+
+        dispatch_next()
 
         for bi in range(len(starts)):
-            i, enc, pending = in_flight
+            i, enc, pending = in_flight.popleft()
             if lookahead:
-                in_flight = dispatch(starts[bi + 1]) if bi + 1 < len(starts) else None
+                dispatch_next()
             results = self._forward_collect(
                 enc,
                 pending,
                 tokenizer,
                 chunks_metadata[i : i + batch_size],
                 options,
+                dispatch_hook=dispatch_next if lookahead else None,
             )
             if not lookahead:
-                in_flight = dispatch(starts[bi + 1]) if bi + 1 < len(starts) else None
+                dispatch_next()
 
             for result in results:
                 for segment in result:
