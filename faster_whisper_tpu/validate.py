@@ -252,6 +252,54 @@ def check_wer(model, librispeech_dir, threshold):
     return f"WER {score:.3f} over {n} utts"
 
 
+def check_ct2_int8_dir(model, jfk_path, mock):
+    """A downloaded int8 CT2 checkpoint (model.bin with weight +
+    weight_scale linears) must work first try through the public path
+    with compute_type='int8' (reference: transcribe.py:689-698; the hub's
+    faster-whisper conversions ship exactly this layout).  In --mock mode
+    the dir is synthesized from the mock model's own weights; with real
+    weights pass --weights-dir at an int8 conversion instead."""
+    if not mock:
+        raise SkipCheck(
+            "run the real int8 conversion via --weights-dir + "
+            "--compute-type int8"
+        )
+    import json as _json
+
+    from faster_whisper_tpu.testing import (
+        build_synthetic_tokenizer,
+        serialize_ct2_int8,
+    )
+    from faster_whisper_tpu.transcribe import WhisperModel
+
+    cfg = model.model.config
+    from faster_whisper_tpu.models.load import random_params
+
+    params = random_params(cfg, dtype="float32")
+    blob = serialize_ct2_int8(params, cfg)
+    m8 = WhisperModel(
+        "mock-int8-ct2",
+        compute_type="int8",
+        files={
+            "model.bin": blob,
+            "config.json": _json.dumps(
+                {"attention_heads": cfg.n_text_head,
+                 "alignment_heads": [[1, 0], [1, 1]]}
+            ).encode(),
+            "tokenizer.json": build_synthetic_tokenizer().to_str().encode(),
+        },
+    )
+    from faster_whisper_tpu.ops.quant import QuantizedLinear
+
+    assert isinstance(
+        m8.model.params["decoder"]["layers"]["mlp"]["w1"], QuantizedLinear
+    ), "int8 dir did not produce a quantized engine"
+    segments, _ = m8.transcribe(
+        jfk_path, language="en", beam_size=2, max_new_tokens=8
+    )
+    return _structural_segments(list(segments))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="faster_whisper_tpu.validate")
     p.add_argument("--model", default="tiny")
@@ -297,6 +345,7 @@ def main(argv=None) -> int:
         ("stereo diarization", lambda: check_stereo(model, args.data_dir, args.mock)),
         ("hotwords", lambda: check_hotwords(model, args.data_dir, args.mock)),
         ("multilingual", lambda: check_multilingual(model, args.data_dir, args.mock)),
+        ("ct2 int8 dir round-trip", lambda: check_ct2_int8_dir(model, jfk, args.mock)),
         ("librispeech wer", lambda: check_wer(model, args.librispeech, args.wer_threshold)),
     ]
     if args.checks:

@@ -16,6 +16,12 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 
+from faster_whisper_tpu.testing import (  # noqa: E402
+    serialize_ct2,
+    serialize_ct2_int8,
+)
+
+
 def _write_string(buf, s):
     raw = s.encode("utf-8")
     buf.write(struct.pack("<H", len(raw) + 1))
@@ -33,91 +39,6 @@ def _write_var(buf, name, arr):
     buf.write(struct.pack("<I", arr.nbytes))
     buf.write(arr.tobytes())
 
-
-def serialize_ct2(params, config) -> bytes:
-    """Inverse of models/load.py::load_ct2_model for f32 checkpoints."""
-    v = {}
-    enc = jax.tree.map(np.asarray, params["encoder"])
-    dec = jax.tree.map(np.asarray, params["decoder"])
-
-    v["encoder/conv1/weight"] = enc["conv1_w"].transpose(2, 1, 0)
-    v["encoder/conv1/bias"] = enc["conv1_b"]
-    v["encoder/conv2/weight"] = enc["conv2_w"].transpose(2, 1, 0)
-    v["encoder/conv2/bias"] = enc["conv2_b"]
-    v["encoder/position_encodings"] = enc["pos_embed"]
-    v["encoder/layer_norm/gamma"] = enc["ln_post_g"]
-    v["encoder/layer_norm/beta"] = enc["ln_post_b"]
-
-    L = enc["layers"]
-    for i in range(config.n_audio_layer):
-        a = {k: val[i] for k, val in L["attn"].items()}
-        m = {k: val[i] for k, val in L["mlp"].items()}
-        base = f"encoder/layer_{i}"
-        v[f"{base}/self_attention/layer_norm/gamma"] = L["ln1_g"][i]
-        v[f"{base}/self_attention/layer_norm/beta"] = L["ln1_b"][i]
-        v[f"{base}/self_attention/linear_0/weight"] = np.concatenate(
-            [a["wq"].T, a["wk"].T, a["wv"].T], axis=0
-        )
-        v[f"{base}/self_attention/linear_0/bias"] = np.concatenate(
-            [a["bq"], np.zeros_like(a["bq"]), a["bv"]]
-        )
-        v[f"{base}/self_attention/linear_1/weight"] = a["wo"].T
-        v[f"{base}/self_attention/linear_1/bias"] = a["bo"]
-        v[f"{base}/ffn/layer_norm/gamma"] = L["ln2_g"][i]
-        v[f"{base}/ffn/layer_norm/beta"] = L["ln2_b"][i]
-        v[f"{base}/ffn/linear_0/weight"] = m["w1"].T
-        v[f"{base}/ffn/linear_0/bias"] = m["b1"]
-        v[f"{base}/ffn/linear_1/weight"] = m["w2"].T
-        v[f"{base}/ffn/linear_1/bias"] = m["b2"]
-
-    v["decoder/embeddings/weight"] = dec["token_embed"]
-    v["decoder/position_encodings"] = dec["pos_embed"]
-    v["decoder/layer_norm/gamma"] = dec["ln_g"]
-    v["decoder/layer_norm/beta"] = dec["ln_b"]
-
-    L = dec["layers"]
-    for i in range(config.n_text_layer):
-        sa = {k: val[i] for k, val in L["self_attn"].items()}
-        ca = {k: val[i] for k, val in L["cross_attn"].items()}
-        m = {k: val[i] for k, val in L["mlp"].items()}
-        base = f"decoder/layer_{i}"
-        v[f"{base}/self_attention/layer_norm/gamma"] = L["ln1_g"][i]
-        v[f"{base}/self_attention/layer_norm/beta"] = L["ln1_b"][i]
-        v[f"{base}/self_attention/linear_0/weight"] = np.concatenate(
-            [sa["wq"].T, sa["wk"].T, sa["wv"].T], axis=0
-        )
-        v[f"{base}/self_attention/linear_0/bias"] = np.concatenate(
-            [sa["bq"], np.zeros_like(sa["bq"]), sa["bv"]]
-        )
-        v[f"{base}/self_attention/linear_1/weight"] = sa["wo"].T
-        v[f"{base}/self_attention/linear_1/bias"] = sa["bo"]
-        v[f"{base}/attention/layer_norm/gamma"] = L["ln2_g"][i]
-        v[f"{base}/attention/layer_norm/beta"] = L["ln2_b"][i]
-        v[f"{base}/attention/linear_0/weight"] = ca["wq"].T
-        v[f"{base}/attention/linear_0/bias"] = ca["bq"]
-        v[f"{base}/attention/linear_1/weight"] = np.concatenate(
-            [ca["wk"].T, ca["wv"].T], axis=0
-        )
-        v[f"{base}/attention/linear_1/bias"] = np.concatenate(
-            [np.zeros_like(ca["bv"]), ca["bv"]]
-        )
-        v[f"{base}/attention/linear_2/weight"] = ca["wo"].T
-        v[f"{base}/attention/linear_2/bias"] = ca["bo"]
-        v[f"{base}/ffn/layer_norm/gamma"] = L["ln3_g"][i]
-        v[f"{base}/ffn/layer_norm/beta"] = L["ln3_b"][i]
-        v[f"{base}/ffn/linear_0/weight"] = m["w1"].T
-        v[f"{base}/ffn/linear_0/bias"] = m["b1"]
-        v[f"{base}/ffn/linear_1/weight"] = m["w2"].T
-        v[f"{base}/ffn/linear_1/bias"] = m["b2"]
-
-    buf = io.BytesIO()
-    buf.write(struct.pack("<I", 6))  # binary version
-    _write_string(buf, "WhisperSpec")
-    buf.write(struct.pack("<I", 3))  # revision
-    buf.write(struct.pack("<I", len(v)))
-    for name, arr in v.items():
-        _write_var(buf, name, arr)
-    return buf.getvalue()
 
 
 def test_ct2_roundtrip_in_memory():
@@ -234,3 +155,60 @@ def test_ct2_f16_and_bf16_variables():
     np.testing.assert_allclose(out["a/weight"].astype(np.float32), w, atol=2e-3)
     np.testing.assert_allclose(out["b/weight"], 
                                (bf16_bits.astype(np.uint32) << 16).view(np.float32))
+
+
+def test_ct2_int8_dir_roundtrip_full():
+    """A COMPLETE int8 CT2 checkpoint (every linear as weight +
+    weight_scale, the form the hub ships for compute_type=int8) must load
+    through the public WhisperModel path with compute_type='int8' and
+    both reproduce the source encoder within int8 tolerance and run a
+    transcription end to end — the first thing a downloaded int8
+    model.bin hits (reference: faster_whisper/transcribe.py:689-698 with
+    compute_type='int8')."""
+    from faster_whisper_tpu.models import model as M
+    from faster_whisper_tpu.models.config import tiny_test_config
+    from faster_whisper_tpu.models.load import random_params
+    from faster_whisper_tpu.testing import build_synthetic_tokenizer
+    from faster_whisper_tpu.transcribe import WhisperModel
+
+    cfg = tiny_test_config()
+    params = random_params(cfg, dtype="float32")
+    blob = serialize_ct2_int8(params, cfg)
+
+    ct2_config = json.dumps(
+        {"attention_heads": cfg.n_text_head, "alignment_heads": [[1, 0], [1, 1]]}
+    ).encode()
+    model = WhisperModel(
+        "in-memory-int8-test",
+        compute_type="int8",
+        files={
+            "model.bin": blob,
+            "config.json": ct2_config,
+            "tokenizer.json": build_synthetic_tokenizer().to_str().encode(),
+        },
+    )
+
+    # engine must be int8-quantized (W8A8), not dequantized-to-float
+    from faster_whisper_tpu.ops.quant import QuantizedLinear
+
+    assert isinstance(
+        model.model.params["decoder"]["layers"]["mlp"]["w1"], QuantizedLinear
+    )
+
+    # encoder states: source f32 tree vs load(int8 dir)+requantize —
+    # two int8 roundtrips of error, bounded loosely
+    mel = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, cfg.n_mels, 3000), dtype=np.float32)
+    )
+    want = np.asarray(M.encode(params, cfg, mel), np.float32)
+    got = np.asarray(model.model.encode(mel), np.float32)
+    denom = np.maximum(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / denom < 0.08, (
+        np.abs(got - want).max(), denom
+    )
+
+    # end-to-end transcribe smoke on the loaded int8 model
+    audio = np.random.default_rng(2).standard_normal(16000 * 3).astype(np.float32) * 0.1
+    segments, _ = model.transcribe(audio, language="en", beam_size=2, max_new_tokens=8)
+    for s in segments:
+        assert s.end >= s.start
