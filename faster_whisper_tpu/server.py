@@ -521,6 +521,13 @@ def main(argv=None):
                     help="model-axis size of the mesh (shards each layer "
                     "over this many chips; must divide --num-mesh-devices "
                     "and the attention head counts)")
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the startup warm (precompile.warm_parallel "
+                    "compiles the serving program set on concurrent "
+                    "threads before the port opens, so the first request "
+                    "never pays a 40-700 s cold compile)")
+    ap.add_argument("--warm-beam-size", type=int, default=5)
+    ap.add_argument("--warm-max-new-tokens", type=int, default=128)
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -532,6 +539,18 @@ def main(argv=None):
     model = WhisperModel(
         args.model, compute_type=args.compute_type, **kwargs
     )
+    if not args.no_warm:
+        from faster_whisper_tpu.precompile import warm_parallel
+
+        warm_parallel(
+            model,
+            durations_s=(30.0, 780.0),
+            batch_size=8,
+            beam_size=args.warm_beam_size,
+            max_new_tokens=args.warm_max_new_tokens,
+            language="en",
+            log=lambda m: logging.getLogger("faster_whisper").info(m),
+        )
     serve(model, args.host, args.port, model_name=args.model)
 
 
