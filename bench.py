@@ -420,8 +420,10 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     beam_size = int(os.environ.get("BENCH_BEAM", "5"))
-    # min-of-3: the tunneled chip shows +-1.5s run-to-run variance
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # min-of-5: the tunneled chip shows +-1.5s run-to-run variance (and
+    # occasional 2-3s congestion spikes); five ~5s runs buy a much more
+    # representative min for ~10s extra
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     # int8 weights by default: the reference's best published batched
     # number (the 16 s baseline below) is its int8 batch=8 row, so this is
     # the best-vs-best comparison; BENCH_COMPUTE=default for bf16.

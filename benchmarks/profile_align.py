@@ -101,9 +101,13 @@ def main():
 
     timed("_forward_with_alignment (device)", fwd_only)
 
-    # --- matrix pull ---
-    p_d, m_d = fwd_post()
-    timed("matrix pull (B,S,T) f32 -> host", lambda: np.asarray(m_d))
+    # --- matrix pull (fresh device array each rep: jax.Array caches its
+    # host copy after the first np.asarray, which would time a no-op) ---
+    def pull():
+        _, m_d = fwd_post()
+        np.asarray(m_d)
+
+    timed("matrix pull (B,S,T) f32 -> host (incl fwd)", pull)
 
     # --- native DTW on realistic slices ---
     m = np.asarray(m_d)

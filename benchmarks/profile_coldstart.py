@@ -71,11 +71,14 @@ def child() -> None:
     # (artifacts/xla_cache), exactly what a new deployment pays.  Default
     # (0) measures the warm-persistent-cache restart.
     if os.environ.get("FWT_COLDSTART_FRESH", "0") == "1":
+        import atexit
+        import shutil
         import tempfile
 
-        os.environ["FWT_COMPILE_CACHE"] = tempfile.mkdtemp(
-            prefix="fwt_fresh_cache_"
-        )
+        fresh_dir = tempfile.mkdtemp(prefix="fwt_fresh_cache_")
+        os.environ["FWT_COMPILE_CACHE"] = fresh_dir
+        # the seeded artifacts + new entries are hundreds of MB per run
+        atexit.register(shutil.rmtree, fresh_dir, ignore_errors=True)
 
     def phase(name, fn):
         t0 = time.perf_counter()

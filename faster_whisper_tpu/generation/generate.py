@@ -1151,9 +1151,6 @@ def _cond_chunk_default() -> int:
 
 
 @functools.lru_cache(maxsize=1)
-
-
-@functools.lru_cache(maxsize=1)
 def _fused_attn_default() -> bool:
     """Use the Pallas append+attend kernel when decoding on a single TPU
     chip.  The pure-XLA reference serves CPU (tests, the virtual mesh)

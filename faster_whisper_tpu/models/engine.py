@@ -708,10 +708,14 @@ class WhisperEngine:
             median_width=int(median_filter_width),
         )
         # Only rows [start, start + max(n_rows)) feed the DTW — slicing on
-        # device cuts the pull by the prompt/padding share (~1/3).
+        # device cuts the pull by the prompt/padding share (~1/3).  The
+        # slice length is bucketed to 64 rows (clamped to the token
+        # buffer) so it keys a handful of eager programs, not one per
+        # distinct longest-text length.
         max_rows = int(n_rows.max()) if b else 0
+        max_rows = min(-(-max(max_rows, 1) // 64) * 64, pad_to - start)
         matrix_d = jax.lax.dynamic_slice_in_dim(
-            matrix_d, start, max(max_rows, 1), axis=1
+            matrix_d, start, max_rows, axis=1
         )
         for a in (probs_d, matrix_d):
             try:

@@ -223,6 +223,32 @@ def _chunked_mel_impl(
     return jax.lax.map(one_chunk, (starts, lengths))
 
 
+MEL_BUCKET_SAMPLES = 240 * 16000  # audio-length program bucket
+MEL_CHUNK_BUCKET = 8  # chunk-count program bucket
+
+
+def mel_length_bucket(
+    n_samples: int,
+    n_fft: int = 400,
+    hop_length: int = 160,
+    n_frames_win: int = 3000,
+    bucket_samples: int = MEL_BUCKET_SAMPLES,
+) -> int:
+    """The padded audio length chunked_log_mel's program will see for
+    ``n_samples`` of concatenated speech.  Exported so
+    precompile.warm_parallel computes the SAME buckets as production
+    (the zero-new-compiles warm contract)."""
+    tail = n_frames_win * hop_length + n_fft
+    return max(
+        bucket_samples, -(-(n_samples + tail) // bucket_samples) * bucket_samples
+    )
+
+
+def mel_chunk_bucket(n_chunks: int, bucket: int = MEL_CHUNK_BUCKET) -> int:
+    """The padded chunk count chunked_log_mel's program will see."""
+    return max(bucket, -(-n_chunks // bucket) * bucket)
+
+
 def chunked_log_mel(
     audio: np.ndarray,
     starts: np.ndarray,
@@ -234,8 +260,8 @@ def chunked_log_mel(
     hop_length: int = 160,
     n_frames_win: int = 3000,
     padding: int = 160,
-    bucket: int = 8,
-    bucket_samples: int = 240 * 16000,
+    bucket: int = MEL_CHUNK_BUCKET,
+    bucket_samples: int = MEL_BUCKET_SAMPLES,
 ) -> jax.Array:
     """(N, n_mels, n_frames_win) per-chunk features, device-resident.
 
@@ -248,14 +274,15 @@ def chunked_log_mel(
     ``lengths`` mask, so outputs for real chunks are unchanged.
     """
     n = len(starts)
-    n_pad = max(bucket, -(-n // bucket) * bucket)
+    n_pad = mel_chunk_bucket(n, bucket)
     starts_b = np.zeros(n_pad, np.int32)
     lengths_b = np.ones(n_pad, np.int32)
     starts_b[:n] = starts
     lengths_b[:n] = np.minimum(lengths, n_frames_win * hop_length)
 
-    tail = n_frames_win * hop_length + n_fft
-    total = max(bucket_samples, -(-(len(audio) + tail) // bucket_samples) * bucket_samples)
+    total = mel_length_bucket(
+        len(audio), n_fft, hop_length, n_frames_win, bucket_samples
+    )
     # float32 transport: features feed the model, so they stay bit-exact
     # (int16 transport shifts quiet log-mel bins by ~1e-3); the VAD path
     # uses upload_audio's int16 mode where only threshold decisions matter.

@@ -195,25 +195,35 @@ def warm_parallel(
             vad(np.zeros(nb * 512, np.float32))
 
     def mel_warm():
+        # The bucket math is the production helpers' own (ops/mel.py) so
+        # the warm can never silently desynchronize from what
+        # chunked_log_mel compiles.
+        from faster_whisper_tpu.ops.mel import (
+            MEL_BUCKET_SAMPLES,
+            MEL_CHUNK_BUCKET,
+            mel_chunk_bucket,
+            mel_length_bucket,
+        )
+
         win_samples = fe.nb_max_frames * fe.hop_length
         tail = win_samples + fe.n_fft
-        mel_bucket = 240 * 16000
         combos = set()
         for d in durations_s:
             n_samples = int(d * 16000)
-            n_chunks = -(-n_samples // win_samples)
-            n_bucket = max(8, -(-n_chunks // 8) * 8)
-            l_bucket = max(
-                mel_bucket, -(-(n_samples + tail) // mel_bucket) * mel_bucket
+            n_bucket = mel_chunk_bucket(-(-n_samples // win_samples))
+            l_bucket = mel_length_bucket(
+                n_samples, fe.n_fft, fe.hop_length, fe.nb_max_frames
             )
             combos.add((l_bucket, n_bucket))
             # after-VAD concat is shorter than the raw duration, so the
             # real call may land one bucket below either axis
-            if l_bucket > mel_bucket:
-                combos.add((l_bucket - mel_bucket, n_bucket))
-            if n_bucket > 8:
-                combos.add((l_bucket, n_bucket - 8))
-                combos.add((l_bucket - mel_bucket, n_bucket - 8))
+            if l_bucket > MEL_BUCKET_SAMPLES:
+                combos.add((l_bucket - MEL_BUCKET_SAMPLES, n_bucket))
+            if n_bucket > MEL_CHUNK_BUCKET:
+                combos.add((l_bucket, n_bucket - MEL_CHUNK_BUCKET))
+                combos.add(
+                    (l_bucket - MEL_BUCKET_SAMPLES, n_bucket - MEL_CHUNK_BUCKET)
+                )
         for l_bucket, n_bucket in sorted(combos):
             starts = np.zeros(n_bucket, np.int64)
             lengths = np.full(n_bucket, win_samples, np.int64)

@@ -1300,8 +1300,15 @@ class WhisperModel:
             text_tokens.append(list(itertools.chain.from_iterable(segment_tokens)))
             text_tokens_per_segment.append(segment_tokens)
 
+        # Engines that only expose ``align`` (scripted engines in the
+        # reference-parity tests, user-provided engines) run it here —
+        # the collect half then has nothing left to block on.
+        dispatch = getattr(self.model, "align_dispatch", None)
+        collect = getattr(self.model, "align_collect", None)
+        if dispatch is None or collect is None:
+            dispatch, collect = self.model.align, None
         pending = (
-            self.model.align_dispatch(
+            dispatch(
                 encoder_output,
                 tokenizer.sot_sequence,
                 text_tokens,
@@ -1311,7 +1318,7 @@ class WhisperModel:
             if len(text_tokens)
             else None
         )
-        return (pending, tokenizer, text_tokens, text_tokens_per_segment)
+        return (pending, collect, tokenizer, text_tokens, text_tokens_per_segment)
 
     def add_word_timestamps_collect(
         self,
@@ -1321,10 +1328,12 @@ class WhisperModel:
         append_punctuations: str,
         last_speech_timestamp: float,
     ) -> float:
-        pending, tokenizer, text_tokens, text_tokens_per_segment = state
+        pending, collect, tokenizer, text_tokens, text_tokens_per_segment = state
         alignments = (
             self._alignment_words(
-                tokenizer, self.model.align_collect(pending), text_tokens
+                tokenizer,
+                collect(pending) if collect is not None else pending,
+                text_tokens,
             )
             if pending is not None
             else []
@@ -2129,9 +2138,12 @@ class BatchedInferencePipeline:
             # (a) once per loop iteration for 1-deep decode pipelining and
             # (b) from inside _forward_collect right after the align
             # program is enqueued, giving the device work to run under
-            # the align matrix pull (2-deep when word_timestamps).
+            # the align matrix pull.  Capped at 2 in flight: without the
+            # cap the two call sites consume one batch but dispatch two
+            # per iteration, and a multi-hour audio would accumulate
+            # every batch's encoder output on device.
             nonlocal next_idx
-            if next_idx < len(starts):
+            if len(in_flight) < 2 and next_idx < len(starts):
                 start = starts[next_idx]
                 next_idx += 1
                 enc, pending = self._dispatch_segment_batch(

@@ -238,8 +238,11 @@ def enable_compilation_cache(path: Optional[str] = None):
     # compile_options and therefore into every cache key — two machines
     # (or two dirs) never share entries.  The autotune cache is a GPU
     # feature (dead weight on TPU): disable it so keys are
-    # path-independent and baked cache artifacts are portable.
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    # path-independent and baked cache artifacts are portable.  (The
+    # option does not exist on older jax: degrade to path-dependent
+    # keys rather than failing model construction.)
+    if hasattr(jax.config, "jax_persistent_cache_enable_xla_caches"):
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     _seed_cache_from_artifacts(path)
     # Tests override the floor to 0 so even sub-second (CPU tiny-model)
     # programs land in the cache and zero-new-compiles can be asserted.

@@ -455,8 +455,9 @@ def test_tensor_parallel_production_path(model, jfk_path, virtual_mesh):
     # all-reduces may round differently, but the decode decisions
     # (including timestamp tokens) must survive the drift.
     for sh, ref in zip(sh_segs, ref_segs):
-        assert abs(sh.start - ref.start) <= 0.02
-        assert abs(sh.end - ref.end) <= 0.02
+        # 0.02 + epsilon: one-quantum drifts float to 0.020000000000000018
+        assert abs(sh.start - ref.start) <= 0.0201
+        assert abs(sh.end - ref.end) <= 0.0201
 
 
 def test_tensor_parallel_validates_divisibility(model, virtual_mesh):
