@@ -231,10 +231,20 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=50051)
     ap.add_argument("--compute-type", default="default")
     ap.add_argument("--max-workers", type=int, default=8)
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the startup warm (precompile.warm_parallel)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     model = WhisperModel(args.model, compute_type=args.compute_type)
+    if not args.no_warm:
+        from faster_whisper_tpu.precompile import warm_parallel
+
+        warm_parallel(
+            model, durations_s=(30.0, 780.0), batch_size=8, beam_size=5,
+            max_new_tokens=128, language="en",
+            log=lambda m: logger.info(m),
+        )
     server, bound = make_server(
         model, args.host, args.port, model_name=args.model,
         max_workers=args.max_workers,
