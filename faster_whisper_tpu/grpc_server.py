@@ -242,7 +242,8 @@ def main(argv=None):
 
         warm_parallel(
             model, durations_s=(30.0, 780.0), batch_size=8, beam_size=5,
-            max_new_tokens=128, language="en",
+            max_new_tokens=(128, None),  # None = default-request program
+            language="en",
             log=lambda m: logger.info(m),
         )
     server, bound = make_server(

@@ -671,10 +671,28 @@ class WhisperEngine:
         ``align_collect`` — the ~6 MB matrix pull then overlaps device
         compute instead of idling the chip (measured ~0.3 s per batch-8
         call on the tunneled link, benchmarks/profile_align.py)."""
-        b = len(text_tokens)
+        b_real = len(text_tokens)
         if isinstance(num_frames, int):
-            num_frames = [num_frames] * b
-        assert encoder_output.shape[0] == b
+            num_frames = [num_frames] * b_real
+        assert encoder_output.shape[0] == b_real
+        if b_real == 0:
+            return (None, None, 0, [], [])
+
+        # Bucket the batch axis to the next power of two (dummy rows:
+        # repeated last encoder row + empty text) so align programs key
+        # on {1, 2, 4, ...} like the decode programs — a raw tail size
+        # would compile a fresh teacher-forced program per distinct
+        # trailing-batch size, unwarmable ahead of time.
+        b = 1
+        while b < b_real:
+            b *= 2
+        if b != b_real:
+            pad = b - b_real
+            encoder_output = jnp.concatenate(
+                [encoder_output] + [encoder_output[-1:]] * pad, axis=0
+            )
+            text_tokens = list(text_tokens) + [[]] * pad
+            num_frames = list(num_frames) + [num_frames[-1]] * pad
 
         prefix = list(start_sequence) + [self.meta.no_timestamps]
         seqs = [prefix + list(t) + [self.meta.eot] for t in text_tokens]
@@ -722,11 +740,15 @@ class WhisperEngine:
                 a.copy_to_host_async()
             except AttributeError:  # older jax / non-PJRT arrays
                 break
-        return (probs_d, matrix_d, start, text_tokens, tfr)
+        return (probs_d, matrix_d, start, text_tokens[:b_real], tfr)
 
     def align_collect(self, pending) -> List[AlignmentResult]:
-        """Blocking half of ``align``: pull + native DTW + unpack."""
+        """Blocking half of ``align``: pull + native DTW + unpack
+        (text_tokens carries only the real rows; pow2 pad rows are
+        dropped here by never being iterated)."""
         probs_d, matrix_d, start, text_tokens, tfr = pending
+        if not text_tokens:
+            return []
         probs = np.asarray(probs_d)
         matrix = np.asarray(matrix_d)
 

@@ -33,6 +33,28 @@ import numpy as np
 _WINDOW = 512
 _CONTEXT = 64
 
+VAD_WINDOW_BUCKET = 2048  # window-count program bucket
+
+
+def vad_window_bucket_windows(n_windows: int) -> int:
+    """The padded window count the VAD program will see for ``n_windows``
+    real windows.  Exported so precompile.warm_parallel computes the SAME
+    buckets as production (the zero-new-compiles warm contract)."""
+    return max(
+        VAD_WINDOW_BUCKET,
+        -(-n_windows // VAD_WINDOW_BUCKET) * VAD_WINDOW_BUCKET,
+    )
+
+
+def vad_window_bucket(n_samples: int) -> int:
+    """Padded window count for ``n_samples`` of audio as
+    get_speech_timestamps prepares it: the pad there is
+    ``512 - n % 512``, which adds a WHOLE extra window when n_samples is
+    already a multiple of 512 (reference semantics, vad.py) — warm code
+    that forgets the +1 compiles a dead bucket at exact multiples."""
+    n_windows = n_samples // _WINDOW + 1
+    return vad_window_bucket_windows(n_windows)
+
 
 def load_silero_weights(onnx_path: Optional[str] = None) -> dict:
     """Load the Silero v6 weights.
@@ -260,8 +282,7 @@ class SileroVAD:
         # Bucket the window count so XLA compiles a handful of programs;
         # windows + rolled context are built on device (see
         # _vad_forward_audio) so only raw audio crosses the host boundary.
-        bucket = 2048
-        n_pad = max(bucket, -(-n // bucket) * bucket)
+        n_pad = vad_window_bucket_windows(n)
         if isinstance(audio, jax.Array):
             # already on device (shared upload): pad there, no transfer.
             # Apply the same int16 grid the host transport uses so both

@@ -29,6 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Upload-length program bucket: 2048 VAD windows, so the one shared PCM
+# upload, the dequant program, and the VAD forward all bucket on the
+# same grid (models/silero.py VAD_WINDOW_BUCKET) — arbitrary file
+# lengths reuse a handful of programs instead of compiling a fresh
+# dequant/pad/forward chain per distinct sample count.
+UPLOAD_BUCKET_SAMPLES = 2048 * 512
+
+
 def upload_audio(buf: np.ndarray) -> jax.Array:
     """Host->device PCM transfer, as int16 when enabled (default).
 
@@ -37,12 +45,24 @@ def upload_audio(buf: np.ndarray) -> jax.Array:
     halves the transfer bytes at <=0.5 LSB error — significant on
     tunneled TPUs where host->device runs at ~50 MB/s.  Disable with
     FWT_I16_TRANSFER=0 for bit-exact float32 transport.
+
+    The buffer is zero-padded to an UPLOAD_BUCKET_SAMPLES multiple (the
+    pad costs <=2 MB of extra transfer, ~40 ms); downstream consumers
+    mask/slice by the true sample count they track host-side.
     """
     import os
 
+    n = len(buf)
+    total = max(
+        UPLOAD_BUCKET_SAMPLES,
+        -(-n // UPLOAD_BUCKET_SAMPLES) * UPLOAD_BUCKET_SAMPLES,
+    )
     if os.environ.get("FWT_I16_TRANSFER", "1") == "0":
-        return jnp.asarray(buf)
-    q = np.clip(np.round(buf * 32768.0), -32768, 32767).astype(np.int16)
+        return jnp.asarray(
+            np.pad(np.asarray(buf, np.float32), (0, total - n))
+        )
+    q = np.zeros(total, np.int16)
+    q[:n] = np.clip(np.round(buf * 32768.0), -32768, 32767).astype(np.int16)
     return _dequant_i16(jnp.asarray(q))
 
 
@@ -225,6 +245,10 @@ def _chunked_mel_impl(
 
 MEL_BUCKET_SAMPLES = 240 * 16000  # audio-length program bucket
 MEL_CHUNK_BUCKET = 8  # chunk-count program bucket
+MEL_MAX_CHUNKS = 32  # per-program chunk cap: larger calls run as slabs,
+# so the chunk axis keys exactly {8, 16, 24, 32} — a fragmented VAD
+# (one chunk per speech segment) can otherwise produce arbitrarily many
+# chunks and an unwarmable program per count
 
 
 def mel_length_bucket(
@@ -247,6 +271,15 @@ def mel_length_bucket(
 def mel_chunk_bucket(n_chunks: int, bucket: int = MEL_CHUNK_BUCKET) -> int:
     """The padded chunk count chunked_log_mel's program will see."""
     return max(bucket, -(-n_chunks // bucket) * bucket)
+
+
+def assemble_out_bucket(total_samples: int) -> int:
+    """The bucketed output length assemble_segments' program will carry
+    for ``total_samples`` of concatenated speech (feeds
+    mel_length_bucket in the shared-upload pipeline — exported so
+    precompile.warm_parallel reproduces the exact production chain)."""
+    out_bucket = int(os.environ.get("FWT_ASSEMBLE_BUCKET", 120 * 16000))
+    return max(out_bucket, -(-total_samples // out_bucket) * out_bucket)
 
 
 def chunked_log_mel(
@@ -274,6 +307,20 @@ def chunked_log_mel(
     ``lengths`` mask, so outputs for real chunks are unchanged.
     """
     n = len(starts)
+    if n > MEL_MAX_CHUNKS:
+        outs = [
+            chunked_log_mel(
+                audio,
+                starts[i : i + MEL_MAX_CHUNKS],
+                lengths[i : i + MEL_MAX_CHUNKS],
+                mel_filters, cos_basis, sin_basis,
+                n_fft=n_fft, hop_length=hop_length,
+                n_frames_win=n_frames_win, padding=padding,
+                bucket=bucket, bucket_samples=bucket_samples,
+            )
+            for i in range(0, n, MEL_MAX_CHUNKS)
+        ]
+        return jnp.concatenate(outs, axis=0)
     n_pad = mel_chunk_bucket(n, bucket)
     starts_b = np.zeros(n_pad, np.int32)
     lengths_b = np.ones(n_pad, np.int32)
@@ -336,6 +383,9 @@ def assemble_segments(
     spans,  # [(start, end)] sample ranges of the original audio
     seg_cap: int = 16000 * 31,
     bucket: int = 64,
+    trim: bool = True,  # False: return the out_len-bucketed buffer
+    # (zeros past the true total) so downstream eager ops key on the
+    # bucket, not on one shape per distinct speech total
 ) -> jax.Array:
     """Device-side ``np.concatenate([audio[s:e] for s, e in spans])``.
 
@@ -363,8 +413,7 @@ def assemble_segments(
     # Bucket the output length (static in the program) so arbitrary
     # speech totals reuse a small, precompilable program set; the tail
     # rows are zero-length masked no-ops so the pad region stays zero.
-    out_bucket = int(os.environ.get("FWT_ASSEMBLE_BUCKET", 120 * 16000))
-    out_len = max(out_bucket, -(-total // out_bucket) * out_bucket)
+    out_len = assemble_out_bucket(total)
     nb = max(bucket, -(-len(src) // bucket) * bucket)
     src_b = np.zeros(nb, np.int32)
     dst_b = np.zeros(nb, np.int32)
@@ -372,14 +421,15 @@ def assemble_segments(
     src_b[: len(src)] = src
     dst_b[: len(dst)] = dst
     len_b[: len(lens)] = lens
-    return _assemble_impl(
+    out = _assemble_impl(
         audio_dev,
         jnp.asarray(src_b),
         jnp.asarray(dst_b),
         jnp.asarray(len_b),
         seg_cap,
         out_len,
-    )[:total]
+    )
+    return out[:total] if trim else out
 
 
 def log_mel_spectrogram(

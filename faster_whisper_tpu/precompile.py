@@ -119,7 +119,10 @@ def warm_parallel(
     durations_s=(65.0, 780.0),
     batch_size: int = 8,
     beam_size: int = 5,
-    max_new_tokens: int = 128,
+    max_new_tokens=128,  # int, None (= the model's full context), or a
+    # sequence of those: each distinct decode budget selects its own
+    # ctx-bucketed beam program, so servers that accept requests WITHOUT
+    # max_new_tokens must warm None too (the default request's program)
     language: str = "en",
     word_timestamps: bool = False,
     without_timestamps: bool = True,  # the batched pipeline's default
@@ -182,14 +185,14 @@ def warm_parallel(
         float(jnp.sum(jnp.ones(8, jnp.float32)))
 
     def vad_warm():
+        from faster_whisper_tpu.models.silero import vad_window_bucket
         from faster_whisper_tpu.vad import get_vad_model
 
         vad = get_vad_model()
+        # production bucket math (incl. the +1-window pad at exact
+        # multiples) comes from the model module itself
         buckets = sorted(
-            {
-                max(2048, -(-int(d * 16000 / 512) // 2048) * 2048)
-                for d in durations_s
-            }
+            {vad_window_bucket(int(d * 16000)) for d in durations_s}
         )
         for nb in buckets:
             vad(np.zeros(nb * 512, np.float32))
@@ -199,37 +202,41 @@ def warm_parallel(
         # the warm can never silently desynchronize from what
         # chunked_log_mel compiles.
         from faster_whisper_tpu.ops.mel import (
-            MEL_BUCKET_SAMPLES,
             MEL_CHUNK_BUCKET,
-            mel_chunk_bucket,
+            MEL_MAX_CHUNKS,
+            assemble_out_bucket,
             mel_length_bucket,
         )
 
         win_samples = fe.nb_max_frames * fe.hop_length
         tail = win_samples + fe.n_fft
-        combos = set()
+        # Reproduce the production chain EXACTLY: VAD speech total ->
+        # assemble_out_bucket -> mel_length_bucket.  Speech <= raw
+        # duration, so walk the assemble buckets from the raw duration's
+        # down a couple of steps.
+        ab = assemble_out_bucket(1)  # the bucket quantum
+        l_buckets = set()
         for d in durations_s:
-            n_samples = int(d * 16000)
-            n_bucket = mel_chunk_bucket(-(-n_samples // win_samples))
-            l_bucket = mel_length_bucket(
-                n_samples, fe.n_fft, fe.hop_length, fe.nb_max_frames
-            )
-            combos.add((l_bucket, n_bucket))
-            # after-VAD concat is shorter than the raw duration, so the
-            # real call may land one bucket below either axis
-            if l_bucket > MEL_BUCKET_SAMPLES:
-                combos.add((l_bucket - MEL_BUCKET_SAMPLES, n_bucket))
-            if n_bucket > MEL_CHUNK_BUCKET:
-                combos.add((l_bucket, n_bucket - MEL_CHUNK_BUCKET))
-                combos.add(
-                    (l_bucket - MEL_BUCKET_SAMPLES, n_bucket - MEL_CHUNK_BUCKET)
+            top = assemble_out_bucket(int(d * 16000))
+            for speech_bucket in (top, top - ab, top - 2 * ab):
+                if speech_bucket >= ab:
+                    l_buckets.add(
+                        mel_length_bucket(
+                            speech_bucket, fe.n_fft, fe.hop_length,
+                            fe.nb_max_frames,
+                        )
+                    )
+        # The chunk axis keys exactly {8, 16, 24, 32}: chunked_log_mel
+        # slabs larger calls, so this is the COMPLETE set regardless of
+        # how fragmented the VAD chunking turns out.
+        n_buckets = range(MEL_CHUNK_BUCKET, MEL_MAX_CHUNKS + 1, MEL_CHUNK_BUCKET)
+        for l_bucket in sorted(l_buckets):
+            for n_bucket in n_buckets:
+                starts = np.zeros(n_bucket, np.int64)
+                lengths = np.full(n_bucket, win_samples, np.int64)
+                fe.chunk_features(
+                    np.zeros(l_bucket - tail, np.float32), starts, lengths
                 )
-        for l_bucket, n_bucket in sorted(combos):
-            starts = np.zeros(n_bucket, np.int64)
-            lengths = np.full(n_bucket, win_samples, np.int64)
-            fe.chunk_features(
-                np.zeros(l_bucket - tail, np.float32), starts, lengths
-            )
 
     # The pipeline buckets the batch axis to powers of two (transcribe.py
     # _dispatch_segment_batch), so {1, 2, 4, ..., batch_size} is the
@@ -241,6 +248,12 @@ def warm_parallel(
     while b < batch_size:
         b_set.add(b)
         b *= 2
+
+    budgets = (
+        tuple(max_new_tokens)
+        if isinstance(max_new_tokens, (tuple, list, set))
+        else (max_new_tokens,)
+    )
 
     def decode_warm(b):
         # encode + the production beam program (and the align pass when
@@ -260,23 +273,26 @@ def warm_parallel(
         )
         mel = np.zeros((b, eng.config.n_mels, fe.nb_max_frames), np.float32)
         xa = eng.encode(mel)
-        max_len = min(len(prompt) + max_new_tokens, model.max_length)
-        eng.generate(
-            xa,
-            [list(prompt)] * b,
-            beam_size=beam_size,
-            patience=1,
-            length_penalty=1,
-            repetition_penalty=1,
-            no_repeat_ngram_size=0,
-            max_length=max_len,
-            return_scores=True,
-            return_no_speech_prob=True,
-            suppress_blank=True,
-            suppress_tokens=suppress,
-            max_initial_timestamp_index=50,
-            sampling_temperature=0.0,
-        )
+        for budget in budgets:
+            max_len = min(
+                len(prompt) + (budget or model.max_length), model.max_length
+            )
+            eng.generate(
+                xa,
+                [list(prompt)] * b,
+                beam_size=beam_size,
+                patience=1,
+                length_penalty=1,
+                repetition_penalty=1,
+                no_repeat_ngram_size=0,
+                max_length=max_len,
+                return_scores=True,
+                return_no_speech_prob=True,
+                suppress_blank=True,
+                suppress_tokens=suppress,
+                max_initial_timestamp_index=50,
+                sampling_temperature=0.0,
+            )
         if word_timestamps:
             eng.align(
                 xa,

@@ -527,7 +527,13 @@ def main(argv=None):
                     "threads before the port opens, so the first request "
                     "never pays a 40-700 s cold compile)")
     ap.add_argument("--warm-beam-size", type=int, default=5)
-    ap.add_argument("--warm-max-new-tokens", type=int, default=128)
+    ap.add_argument(
+        "--warm-max-new-tokens", default="128,none",
+        help="comma list of decode budgets to warm ('none' = the model's "
+        "full context — the program a request WITHOUT max_new_tokens "
+        "runs)")
+    ap.add_argument("--warm-word-timestamps", action="store_true",
+                    help="also warm the word-timestamp align programs")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -542,12 +548,18 @@ def main(argv=None):
     if not args.no_warm:
         from faster_whisper_tpu.precompile import warm_parallel
 
+        budgets = tuple(
+            None if t.strip().lower() in ("none", "") else int(t)
+            for t in str(args.warm_max_new_tokens).split(",")
+            if t.strip() or t.strip().lower() == "none"
+        )
         warm_parallel(
             model,
             durations_s=(30.0, 780.0),
             batch_size=8,
             beam_size=args.warm_beam_size,
-            max_new_tokens=args.warm_max_new_tokens,
+            max_new_tokens=budgets or (128, None),
+            word_timestamps=args.warm_word_timestamps,
             language="en",
             log=lambda m: logging.getLogger("faster_whisper").info(m),
         )

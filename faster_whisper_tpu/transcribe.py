@@ -1699,7 +1699,7 @@ class BatchedInferencePipeline:
         # {1,2,4,...,batch_size} precompilable (precompile.warm_parallel).
         # The dummy rows' outputs are dropped at unpack.
         pad_to = getattr(self, "_batch_bucket", None)
-        if pad_to is None or batch_size >= pad_to:
+        if pad_to is None:
             pad_to = 1
             while pad_to < batch_size:
                 pad_to *= 2
@@ -1947,12 +1947,17 @@ class BatchedInferencePipeline:
 
                 n_total = len(audio)  # numpy slicing clamps; match it
                 with phase_timer("assemble speech concat"):
+                    # trim=False: the bucketed buffer keeps every eager op
+                    # downstream keyed on the bucket, not on one shape per
+                    # distinct speech total; the chunk starts/lengths
+                    # bound all reads to the true samples
                     base_audio = assemble_segments(
                         audio_dev,
                         [
                             (min(c["start"], n_total), min(c["end"], n_total))
                             for c in clip_timestamps
                         ],
+                        trim=False,
                     )
             else:
                 base_audio = (

@@ -85,14 +85,27 @@ def get_speech_timestamps(
     n_samples = len(audio)
     model = get_vad_model()
     pad = window - n_samples % window
+    expected_windows = n_samples // window + 1
     if audio_device is not None:
+        # upload_audio ships the device copy zero-padded to a 512-aligned
+        # bucket, so it usually already holds the reference's pad window;
+        # only the rare exact-bucket-fit length needs one more window
+        # (a single extra eager program instead of one per file length).
         import jax.numpy as jnp
 
-        padded = jnp.pad(audio_device, (0, pad))
+        n_dev = int(audio_device.shape[0])
+        target = max(expected_windows * window, -(-n_dev // window) * window)
+        if n_dev == target:
+            padded = audio_device
+        else:
+            padded = jnp.pad(audio_device, (0, target - n_dev))
     else:
         padded = np.pad(audio, (0, pad))
     with phase_timer("vad forward (compile+exec+probs pull)"):
-        probs = model(padded)
+        # slice to the reference's window count: the device copy's bucket
+        # tail adds trailing zero windows whose probabilities must not
+        # reach the hysteresis state machine
+        probs = model(padded)[:expected_windows]
 
     # --- hysteresis state machine over window probabilities ---
     # Native C transliteration first (~24k iterations per 13 minutes of
