@@ -164,6 +164,21 @@ def _vad_forward(weights: dict, windows: jax.Array) -> jax.Array:
 
 
 def _vad_forward_impl(weights: dict, windows: jax.Array) -> jax.Array:
+    zeros = jnp.zeros(128, jnp.float32)
+    return _vad_forward_core(weights, windows, zeros, zeros)[0]
+
+
+def _vad_forward_core(
+    weights: dict, windows: jax.Array, h0: jax.Array, c0: jax.Array
+):
+    """(N, 576) windows + LSTM state -> (probs (N,), h, c).
+
+    The state-threading form of the forward: the pipelined sliced upload
+    (vad.upload_with_vad) chains it across UPLOAD_BUCKET slices, and the
+    classic whole-buffer paths call it with zero state.  Per-window math
+    is identical either way, so slice-chained probabilities are bitwise
+    equal to the one-shot forward (pinned by tests/test_vad.py).
+    """
     n = windows.shape[0]
 
     x = jnp.pad(windows, ((0, 0), (128, 128)), mode="reflect")  # (N, 832)
@@ -246,14 +261,50 @@ def _vad_forward_impl(weights: dict, windows: jax.Array) -> jax.Array:
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros(128, jnp.float32), jnp.zeros(128, jnp.float32))
     # unroll: each scan step is a tiny 128-wide recurrence, so per-step
     # loop overhead dominates on TPU; a deep unroll amortizes it.
-    _, hs = jax.lax.scan(step, init, x_gates, unroll=16)  # (N, 128)
+    (h_n, c_n), hs = jax.lax.scan(step, (h0, c0), x_gates, unroll=16)  # (N, 128)
 
     hs = jax.nn.relu(hs)
     probs = jax.nn.sigmoid(hs @ weights["out_w"].T + weights["out_b"])  # (N, 1)
-    return probs[:, 0]
+    return probs[:, 0], h_n, c_n
+
+
+# One pipelined-upload slice == one UPLOAD_BUCKET of PCM (ops/mel.py
+# buckets the shared host->device transfer on the same 2048-window grid).
+VAD_SLICE_SAMPLES = VAD_WINDOW_BUCKET * _WINDOW
+
+
+@jax.jit
+def _vad_slice_step(
+    weights: dict,
+    q_slice: jax.Array,  # (VAD_SLICE_SAMPLES,) int16 (or f32 transport)
+    tail: jax.Array,  # (64,) f32: last samples of the previous slice
+    h: jax.Array,  # (128,) f32 LSTM hidden
+    c: jax.Array,  # (128,) f32 LSTM cell
+):
+    """One UPLOAD_BUCKET slice of the pipelined shared-upload VAD forward.
+
+    Dequantizes the slice, builds its 576-sample context windows (the
+    first window's 64-sample context comes from ``tail``), and runs the
+    conv tower + LSTM with carried state — so successive slices chain to
+    a forward bitwise-equal to the whole-buffer `_vad_forward_audio`
+    while each slice's compute overlaps the NEXT slice's host->device
+    transfer (vad.upload_with_vad).  Returns
+    (probs, new_tail, h, c, audio_f32_slice); the f32 slices concatenate
+    into the exact buffer upload_audio would have produced, feeding the
+    device-assembled feature path with no second transfer.
+    """
+    if q_slice.dtype == jnp.int16:
+        audio = q_slice.astype(jnp.float32) * (1.0 / 32768.0)
+    else:  # FWT_I16_TRANSFER=0: bit-exact float32 transport
+        audio = q_slice.astype(jnp.float32)
+    windows = audio.reshape(-1, _WINDOW)
+    context = jnp.concatenate([tail[None, :], windows[:-1, -_CONTEXT:]], axis=0)
+    stacked = jnp.concatenate([context, windows], axis=1)
+    with jax.default_matmul_precision("highest"):
+        probs, h_n, c_n = _vad_forward_core(weights, stacked, h, c)
+    return probs, windows[-1, -_CONTEXT:], h_n, c_n, audio
 
 
 class SileroVAD:

@@ -186,7 +186,7 @@ def warm_parallel(
 
     def vad_warm():
         from faster_whisper_tpu.models.silero import vad_window_bucket
-        from faster_whisper_tpu.vad import get_vad_model
+        from faster_whisper_tpu.vad import get_vad_model, upload_with_vad
 
         vad = get_vad_model()
         # production bucket math (incl. the +1-window pad at exact
@@ -196,6 +196,12 @@ def warm_parallel(
         )
         for nb in buckets:
             vad(np.zeros(nb * 512, np.float32))
+        # the pipelined sliced path is opt-in (measured slower over the
+        # tunnel — see vad.upload_with_vad); warm its slice-step + concat
+        # programs only when the deployment opted in
+        if os.environ.get("FWT_PIPELINED_VAD", "0") == "1":
+            for n in sorted({int(d * 16000) for d in durations_s}):
+                upload_with_vad(np.zeros(n, np.float32))
 
     def mel_warm():
         # The bucket math is the production helpers' own (ops/mel.py) so

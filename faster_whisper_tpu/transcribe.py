@@ -1866,11 +1866,30 @@ class BatchedInferencePipeline:
         # <=0.5 LSB elsewhere; FWT_SHARED_UPLOAD=0 restores the separate
         # bit-exact float32 feature upload.
         audio_dev = None
+        vad_probs_dev = None
         if len(audio) and os.environ.get("FWT_SHARED_UPLOAD", "1") != "0":
-            from faster_whisper_tpu.ops.mel import upload_audio
+            if (
+                not clip_timestamps
+                and vad_filter
+                and os.environ.get("FWT_PIPELINED_VAD", "0") == "1"
+            ):
+                # opt-in pipelined form: the VAD forward runs slice-by-
+                # slice UNDER the sliced PCM transfer (vad.upload_with_vad).
+                # Measured SLOWER on the tunneled chip (1.59 vs 1.30 s
+                # min, medians much worse under load — each slice adds a
+                # dispatch round-trip, and RTT not the forward dominates
+                # the serial prefix; benchmarks/profile_vad_pipeline.py),
+                # so default off; kept for direct-attached deployments
+                # where dispatch latency is microseconds.
+                from faster_whisper_tpu.vad import upload_with_vad
 
-            with phase_timer("pcm upload"):
-                audio_dev = upload_audio(audio)
+                with phase_timer("pcm upload + vad dispatch (pipelined)"):
+                    audio_dev, vad_probs_dev = upload_with_vad(audio)
+            else:
+                from faster_whisper_tpu.ops.mel import upload_audio
+
+                with phase_timer("pcm upload"):
+                    audio_dev = upload_audio(audio)
 
         if not clip_timestamps:
             if vad_filter:
@@ -1887,7 +1906,10 @@ class BatchedInferencePipeline:
                     )
                 with phase_timer("vad (compile+forward+state machine)"):
                     clip_timestamps = get_speech_timestamps(
-                        audio, vad_parameters, audio_device=audio_dev
+                        audio,
+                        vad_parameters,
+                        audio_device=audio_dev,
+                        probs_device=vad_probs_dev,
                     )
             elif duration < chunk_length:
                 clip_timestamps = [{"start": 0, "end": audio.shape[0]}]

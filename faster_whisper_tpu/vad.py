@@ -47,11 +47,89 @@ class VadOptions:
     speech_pad_ms: int = 400
 
 
+def upload_with_vad(audio: np.ndarray, return_audio: bool = True):
+    """Pipelined shared PCM upload + Silero forward.
+
+    Splits the host->device transfer into UPLOAD_BUCKET slices and runs
+    the VAD forward on each slice as it lands (LSTM state + 64-sample
+    context carried across slices, models/silero.py::_vad_slice_step),
+    so VAD compute and the later slices' transfers overlap instead of
+    serializing.
+
+    OPT-IN (``FWT_PIPELINED_VAD=1``), default off: on the tunneled chip
+    this measures SLOWER than the serial upload->forward prefix it
+    replaces (min 1.59 vs 1.30 s, medians 2.48 vs 1.71 s per 13 minutes;
+    benchmarks/profile_vad_pipeline.py) — each of the ~12 slice steps
+    adds a dispatch round-trip, and the serial prefix's cost is mostly
+    tunnel RTT/queue drain rather than the 45 ms device forward, so
+    pipelining multiplies the dominant term instead of hiding the minor
+    one.  Kept for direct-attached deployments where dispatch latency is
+    microseconds and transfer/compute overlap is the real win.
+
+    Returns ``(audio_dev, probs_dev)``:
+      * ``audio_dev`` — value-identical to ``ops.mel.upload_audio(audio)``
+        (the f32 device PCM at the same int16 grid, zero-padded to the
+        upload bucket), built by concatenating the dequantized slices on
+        device; ``None`` when ``return_audio=False``.
+      * ``probs_dev`` — device array of per-window speech probabilities
+        covering at least ``len(audio)//512 + 1`` windows, bitwise equal
+        to the whole-buffer forward's output (pinned by tests/test_vad.py).
+    """
+    import jax.numpy as jnp
+
+    from faster_whisper_tpu.models.silero import (
+        _CONTEXT,
+        _WINDOW,
+        VAD_SLICE_SAMPLES,
+        _vad_slice_step,
+    )
+
+    weights = get_vad_model().weights
+    n = len(audio)
+    n_slices = max(1, -(-n // VAD_SLICE_SAMPLES))
+    total = n_slices * VAD_SLICE_SAMPLES
+    expected_windows = n // _WINDOW + 1
+    if os.environ.get("FWT_I16_TRANSFER", "1") != "0":
+        q = np.zeros(total, np.int16)
+        q[:n] = np.clip(
+            np.round(np.asarray(audio) * 32768.0), -32768, 32767
+        ).astype(np.int16)
+    else:
+        q = np.pad(np.asarray(audio, np.float32), (0, total - n))
+
+    tail = jnp.zeros(_CONTEXT, jnp.float32)
+    h = jnp.zeros(128, jnp.float32)
+    c = jnp.zeros(128, jnp.float32)
+    probs, slices = [], []
+    for off in range(0, total, VAD_SLICE_SAMPLES):
+        dev = jnp.asarray(q[off : off + VAD_SLICE_SAMPLES])  # async h2d
+        p, tail, h, c, f32_slice = _vad_slice_step(weights, dev, tail, h, c)
+        probs.append(p)
+        if return_audio:
+            slices.append(f32_slice)
+    if total < expected_windows * _WINDOW:
+        # n is an exact bucket multiple: the reference pads one more
+        # window past the buffer end; run one zero slice (device-made, no
+        # transfer) for its probabilities.  The audio copy stays at
+        # ``total`` — upload_audio would not have padded here either.
+        zero = jnp.zeros(VAD_SLICE_SAMPLES, jnp.int16 if q.dtype == np.int16
+                         else jnp.float32)
+        p, _, _, _, _ = _vad_slice_step(weights, zero, tail, h, c)
+        probs.append(p)
+
+    audio_dev = None
+    if return_audio:
+        audio_dev = slices[0] if len(slices) == 1 else jnp.concatenate(slices)
+    probs_dev = probs[0] if len(probs) == 1 else jnp.concatenate(probs)
+    return audio_dev, probs_dev
+
+
 def get_speech_timestamps(
     audio: np.ndarray,
     vad_options: Optional[VadOptions] = None,
     sampling_rate: int = 16000,
     audio_device=None,
+    probs_device=None,
     **kwargs,
 ) -> List[dict]:
     """Split long audio into speech chunks using Silero VAD.
@@ -86,7 +164,24 @@ def get_speech_timestamps(
     model = get_vad_model()
     pad = window - n_samples % window
     expected_windows = n_samples // window + 1
-    if audio_device is not None:
+    if (
+        probs_device is None
+        and audio_device is None
+        and n_samples
+        and os.environ.get("FWT_PIPELINED_VAD", "0") == "1"
+        and hasattr(model, "weights")  # real Silero (tests inject fakes)
+    ):
+        # opt-in (see upload_with_vad: measured slower over the tunnel):
+        # take the pipelined sliced path, probs only
+        _, probs_device = upload_with_vad(audio, return_audio=False)
+    if probs_device is not None:
+        # pipelined upload already dispatched the forward per slice
+        # (upload_with_vad); pull the full bucketed buffer in one
+        # transfer and slice host-side so no per-length slice program
+        # exists, then drop the trailing zero-pad windows
+        with phase_timer("vad probs pull"):
+            probs = np.asarray(probs_device)[:expected_windows]
+    elif audio_device is not None:
         # upload_audio ships the device copy zero-padded to a 512-aligned
         # bucket, so it usually already holds the reference's pad window;
         # only the rare exact-bucket-fit length needs one more window
@@ -99,13 +194,15 @@ def get_speech_timestamps(
             padded = audio_device
         else:
             padded = jnp.pad(audio_device, (0, target - n_dev))
+        with phase_timer("vad forward (compile+exec+probs pull)"):
+            # slice to the reference's window count: the device copy's
+            # bucket tail adds trailing zero windows whose probabilities
+            # must not reach the hysteresis state machine
+            probs = model(padded)[:expected_windows]
     else:
         padded = np.pad(audio, (0, pad))
-    with phase_timer("vad forward (compile+exec+probs pull)"):
-        # slice to the reference's window count: the device copy's bucket
-        # tail adds trailing zero windows whose probabilities must not
-        # reach the hysteresis state machine
-        probs = model(padded)[:expected_windows]
+        with phase_timer("vad forward (compile+exec+probs pull)"):
+            probs = model(padded)[:expected_windows]
 
     # --- hysteresis state machine over window probabilities ---
     # Native C transliteration first (~24k iterations per 13 minutes of

@@ -237,3 +237,70 @@ def test_native_hysteresis_threshold_boundaries():
     py = _hysteresis_py(probs, *args)
     nat = hysteresis_native(probs, *args)
     assert nat == py
+
+
+def _tiled_fixture_audio(jfk_path, n_samples):
+    from faster_whisper_tpu.audio import decode_audio
+
+    base = np.asarray(decode_audio(jfk_path, sampling_rate=SR), np.float32)
+    reps = -(-n_samples // len(base))
+    return np.tile(base, reps)[:n_samples]
+
+
+def test_upload_with_vad_matches_whole_buffer_forward(jfk_path):
+    """The pipelined sliced forward (LSTM state + context chained across
+    UPLOAD_BUCKET slices, models/silero.py::_vad_slice_step) is bitwise
+    equal to the one-shot whole-buffer forward, and the returned device
+    PCM equals upload_audio's buffer exactly."""
+    from faster_whisper_tpu.models.silero import VAD_SLICE_SAMPLES
+    from faster_whisper_tpu.ops.mel import UPLOAD_BUCKET_SAMPLES, upload_audio
+    from faster_whisper_tpu.vad import get_vad_model, upload_with_vad
+
+    assert VAD_SLICE_SAMPLES == UPLOAD_BUCKET_SAMPLES  # shared grid
+
+    audio = _tiled_fixture_audio(jfk_path, int(2.3 * VAD_SLICE_SAMPLES))
+    expected_windows = len(audio) // WIN + 1
+
+    model = get_vad_model()
+    ref = model(np.pad(audio, (0, WIN - len(audio) % WIN)))[:expected_windows]
+
+    audio_dev, probs_dev = upload_with_vad(audio)
+    got = np.asarray(probs_dev)[:expected_windows]
+    np.testing.assert_array_equal(got, np.asarray(ref))
+    np.testing.assert_array_equal(
+        np.asarray(audio_dev), np.asarray(upload_audio(audio))
+    )
+
+
+def test_upload_with_vad_exact_bucket_multiple(jfk_path):
+    """len(audio) an exact UPLOAD_BUCKET multiple: the reference pads one
+    extra window past the buffer, supplied by a device-made zero slice;
+    the audio copy stays at the bucket length like upload_audio's."""
+    from faster_whisper_tpu.models.silero import VAD_SLICE_SAMPLES
+    from faster_whisper_tpu.vad import get_vad_model, upload_with_vad
+
+    audio = _tiled_fixture_audio(jfk_path, 2 * VAD_SLICE_SAMPLES)
+    expected_windows = len(audio) // WIN + 1
+
+    model = get_vad_model()
+    ref = model(np.pad(audio, (0, WIN)))[:expected_windows]
+
+    audio_dev, probs_dev = upload_with_vad(audio)
+    assert probs_dev.shape[0] >= expected_windows
+    assert audio_dev.shape[0] == len(audio)
+    np.testing.assert_array_equal(
+        np.asarray(probs_dev)[:expected_windows], np.asarray(ref)
+    )
+
+
+def test_pipelined_vad_same_speech_timestamps(jfk_path, monkeypatch):
+    """get_speech_timestamps decisions are identical with the pipelined
+    sliced path on (default) and off."""
+    audio = _tiled_fixture_audio(jfk_path, int(1.5 * SR * 30))
+    opts = VadOptions(max_speech_duration_s=30, min_silence_duration_ms=160)
+
+    monkeypatch.setenv("FWT_PIPELINED_VAD", "0")
+    ref = get_speech_timestamps(audio, opts)
+    monkeypatch.setenv("FWT_PIPELINED_VAD", "1")
+    got = get_speech_timestamps(audio, opts)
+    assert got == ref

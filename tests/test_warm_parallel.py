@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _BIG = ("beam_search", "sample-", "jit_sample", "encode", "chunked_mel",
-        "vad_forward", "prefill", "quantize_params", "jit_init")
+        "vad_forward", "vad_slice", "prefill", "quantize_params", "jit_init")
 
 _A_SCRIPT = """
 import os, sys
