@@ -380,6 +380,13 @@ def extra_rows(model, batch_size, beam_size):
         # phases separate environment (device_enum + first_dispatch =
         # axon session establishment, varies minutes with pool load)
         # from framework time.
+        #
+        # The subprocess is bounded by the REMAINING tail budget (plus a
+        # grace margin), not a fixed 30 min: a row that starts late must
+        # not be able to blow the driver's overall time budget (round 4
+        # died rc=124 mid-extras).
+        spent = time.perf_counter() - t_tail0
+        limit = max(240.0, tail_budget - spent + 300.0)
         env = dict(os.environ, FWT_COLDSTART_FRESH="1")
         proc = subprocess.run(
             [
@@ -391,7 +398,7 @@ def extra_rows(model, batch_size, beam_size):
                 ),
             ],
             cwd=os.path.dirname(os.path.abspath(__file__)),
-            env=env, capture_output=True, text=True, timeout=1800,
+            env=env, capture_output=True, text=True, timeout=limit,
         )
         report = json.loads(proc.stdout)
         rows["cold start to first segment (fresh machine, shipped artifacts), s"] = (
