@@ -110,6 +110,7 @@ def main():
     timed("matrix pull (B,S,T) f32 -> host (incl fwd)", pull)
 
     # --- native DTW on realistic slices ---
+    _, m_d = fwd_post()
     m = np.asarray(m_d)
 
     def dtw_all():

@@ -291,9 +291,10 @@ def _vad_slice_step(
     a forward bitwise-equal to the whole-buffer `_vad_forward_audio`
     while each slice's compute overlaps the NEXT slice's host->device
     transfer (vad.upload_with_vad).  Returns
-    (probs, new_tail, h, c, audio_f32_slice); the f32 slices concatenate
-    into the exact buffer upload_audio would have produced, feeding the
-    device-assembled feature path with no second transfer.
+    (probs, new_tail, h, c, audio_f32_slice); the f32 slices, written
+    into one buffer via _write_slice, reproduce the exact buffer
+    upload_audio would have produced, feeding the device-assembled
+    feature path with no second transfer.
     """
     if q_slice.dtype == jnp.int16:
         audio = q_slice.astype(jnp.float32) * (1.0 / 32768.0)
@@ -305,6 +306,19 @@ def _vad_slice_step(
     with jax.default_matmul_precision("highest"):
         probs, h_n, c_n = _vad_forward_core(weights, stacked, h, c)
     return probs, windows[-1, -_CONTEXT:], h_n, c_n, audio
+
+
+@jax.jit
+def _write_slice(buf: jax.Array, sl: jax.Array, off) -> jax.Array:
+    """Write one pipelined-upload slice into the assembled device buffer.
+
+    The offset is a TRACED scalar, so every slice of a given buffer
+    length shares ONE program — an n-ary concatenate would instead key a
+    fresh XLA program per slice count (unbounded across file durations,
+    unwarmable).  Program keys land on the same per-buffer-length grid
+    as ops.mel's _dequant_i16.
+    """
+    return jax.lax.dynamic_update_slice(buf, sl, (off,))
 
 
 class SileroVAD:

@@ -308,6 +308,26 @@ def chunked_log_mel(
     """
     n = len(starts)
     if n > MEL_MAX_CHUNKS:
+        # Ship the audio to the device ONCE before slabbing: recursing on
+        # the host array would re-pad and re-upload the whole buffer per
+        # 32-chunk slab (~0.5 s of duplicate h2d transfer each on the
+        # tunneled link).  Uploaded as bit-exact float32 zero-padded to
+        # the shared UPLOAD grid — the same device-array shape the
+        # FWT_SHARED_UPLOAD path hands every slab, so the per-slab tail
+        # pad keys the identical (enumerable, warmable) program set and
+        # chunk outputs are unchanged (pad region is masked zeros).
+        if not isinstance(audio, jax.Array):
+            total_up = max(
+                UPLOAD_BUCKET_SAMPLES,
+                -(-len(audio) // UPLOAD_BUCKET_SAMPLES)
+                * UPLOAD_BUCKET_SAMPLES,
+            )
+            audio = jnp.asarray(
+                np.pad(
+                    np.asarray(audio, dtype=np.float32),
+                    (0, total_up - len(audio)),
+                )
+            )
         outs = [
             chunked_log_mel(
                 audio,

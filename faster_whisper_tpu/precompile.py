@@ -218,20 +218,23 @@ def warm_parallel(
         tail = win_samples + fe.n_fft
         # Reproduce the production chain EXACTLY: VAD speech total ->
         # assemble_out_bucket -> mel_length_bucket.  Speech <= raw
-        # duration, so walk the assemble buckets from the raw duration's
-        # down a couple of steps.
+        # duration, so EVERY assemble bucket from the quantum up to the
+        # raw duration's top is reachable (sparse speech can compress a
+        # long file onto any of them) — walk them all so the
+        # zero-new-compiles contract is complete, not just the top three.
+        # The set dedups across durations and the mel compiles overlap
+        # near-perfectly through the relay, so completeness costs little.
         ab = assemble_out_bucket(1)  # the bucket quantum
         l_buckets = set()
         for d in durations_s:
             top = assemble_out_bucket(int(d * 16000))
-            for speech_bucket in (top, top - ab, top - 2 * ab):
-                if speech_bucket >= ab:
-                    l_buckets.add(
-                        mel_length_bucket(
-                            speech_bucket, fe.n_fft, fe.hop_length,
-                            fe.nb_max_frames,
-                        )
+            for speech_bucket in range(ab, top + 1, ab):
+                l_buckets.add(
+                    mel_length_bucket(
+                        speech_bucket, fe.n_fft, fe.hop_length,
+                        fe.nb_max_frames,
                     )
+                )
         # The chunk axis keys exactly {8, 16, 24, 32}: chunked_log_mel
         # slabs larger calls, so this is the COMPLETE set regardless of
         # how fragmented the VAD chunking turns out.

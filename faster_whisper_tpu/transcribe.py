@@ -1699,7 +1699,11 @@ class BatchedInferencePipeline:
         # {1,2,4,...,batch_size} precompilable (precompile.warm_parallel).
         # The dummy rows' outputs are dropped at unpack.
         pad_to = getattr(self, "_batch_bucket", None)
-        if pad_to is None:
+        if pad_to is None or batch_size > pad_to:
+            # batch_size > pad_to: a stale tail bucket from an earlier
+            # generator run must not disable bucketing for a larger direct
+            # forward() call — that would key an exact-B (unwarmable) beam
+            # program; recompute the pow2 bucket instead.
             pad_to = 1
             while pad_to < batch_size:
                 pad_to *= 2
@@ -1868,10 +1872,15 @@ class BatchedInferencePipeline:
         audio_dev = None
         vad_probs_dev = None
         if len(audio) and os.environ.get("FWT_SHARED_UPLOAD", "1") != "0":
+            from faster_whisper_tpu.vad import get_vad_model
+
             if (
                 not clip_timestamps
                 and vad_filter
                 and os.environ.get("FWT_PIPELINED_VAD", "0") == "1"
+                # real Silero only (tests/users may inject a fake model
+                # without .weights — same guard as vad.py's auto-path)
+                and hasattr(get_vad_model(), "weights")
             ):
                 # opt-in pipelined form: the VAD forward runs slice-by-
                 # slice UNDER the sliced PCM transfer (vad.upload_with_vad).

@@ -66,14 +66,17 @@ def upload_with_vad(audio: np.ndarray, return_audio: bool = True):
     one.  Kept for direct-attached deployments where dispatch latency is
     microseconds and transfer/compute overlap is the real win.
 
-    Returns ``(audio_dev, probs_dev)``:
+    Returns ``(audio_dev, probs)``:
       * ``audio_dev`` — value-identical to ``ops.mel.upload_audio(audio)``
         (the f32 device PCM at the same int16 grid, zero-padded to the
-        upload bucket), built by concatenating the dequantized slices on
-        device; ``None`` when ``return_audio=False``.
-      * ``probs_dev`` — device array of per-window speech probabilities
+        upload bucket), assembled on device by writing each dequantized
+        slice through one traced-offset program; ``None`` when
+        ``return_audio=False``.
+      * ``probs`` — host ndarray of per-window speech probabilities
         covering at least ``len(audio)//512 + 1`` windows, bitwise equal
-        to the whole-buffer forward's output (pinned by tests/test_vad.py).
+        to the whole-buffer forward's output (pinned by tests/test_vad.py);
+        host-assembled because its only consumer is the host hysteresis
+        state machine.
     """
     import jax.numpy as jnp
 
@@ -82,6 +85,7 @@ def upload_with_vad(audio: np.ndarray, return_audio: bool = True):
         _WINDOW,
         VAD_SLICE_SAMPLES,
         _vad_slice_step,
+        _write_slice,
     )
 
     weights = get_vad_model().weights
@@ -100,13 +104,18 @@ def upload_with_vad(audio: np.ndarray, return_audio: bool = True):
     tail = jnp.zeros(_CONTEXT, jnp.float32)
     h = jnp.zeros(128, jnp.float32)
     c = jnp.zeros(128, jnp.float32)
-    probs, slices = [], []
+    probs = []
+    # Slices are written into one preallocated buffer through a single
+    # traced-offset program (models/silero.py::_write_slice) — an n-ary
+    # concatenate at the end would key a fresh XLA program per slice
+    # COUNT, an unbounded (unwarmable) set across file durations.
+    audio_dev = jnp.zeros(total, jnp.float32) if return_audio else None
     for off in range(0, total, VAD_SLICE_SAMPLES):
         dev = jnp.asarray(q[off : off + VAD_SLICE_SAMPLES])  # async h2d
         p, tail, h, c, f32_slice = _vad_slice_step(weights, dev, tail, h, c)
         probs.append(p)
         if return_audio:
-            slices.append(f32_slice)
+            audio_dev = _write_slice(audio_dev, f32_slice, off)
     if total < expected_windows * _WINDOW:
         # n is an exact bucket multiple: the reference pads one more
         # window past the buffer end; run one zero slice (device-made, no
@@ -117,11 +126,16 @@ def upload_with_vad(audio: np.ndarray, return_audio: bool = True):
         p, _, _, _, _ = _vad_slice_step(weights, zero, tail, h, c)
         probs.append(p)
 
-    audio_dev = None
-    if return_audio:
-        audio_dev = slices[0] if len(slices) == 1 else jnp.concatenate(slices)
-    probs_dev = probs[0] if len(probs) == 1 else jnp.concatenate(probs)
-    return audio_dev, probs_dev
+    # The probabilities feed the host-side hysteresis state machine
+    # directly, so they are assembled on the host: per-slice pulls after
+    # all dispatches are queued (overlap preserved), and no per-slice-
+    # count device concat program exists.
+    probs_host = (
+        np.asarray(probs[0])
+        if len(probs) == 1
+        else np.concatenate([np.asarray(p) for p in probs])
+    )
+    return audio_dev, probs_host
 
 
 def get_speech_timestamps(

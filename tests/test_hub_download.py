@@ -237,5 +237,7 @@ def test_download_model_against_mock_hub(mock_hub, jfk_path, tmp_path):
     assert out["offline_same"] is True
 
     # the downloaded checkpoint worked through the public transcribe path
-    assert out["n_segments"] >= 0
+    # (seed-3 weights deterministically yield one segment on the 11 s jfk
+    # fixture — zero segments would mean a broken tokenizer/weight load)
+    assert out["n_segments"] >= 1, out
     assert out["language"] == "en"

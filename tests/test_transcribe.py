@@ -389,6 +389,44 @@ def test_partial_trailing_batch_matches_unpadded(model):
     assert a == b
 
 
+def test_stale_batch_bucket_recomputed_for_larger_forward(model):
+    """A tail bucket left behind by a generator run must not disable pow2
+    batch bucketing for a LARGER direct forward() call — that would key
+    an exact-size (unwarmable) beam program.  The dispatch must pad 12
+    rows to 16, not run them unpadded just because a stale bucket of 8
+    is smaller."""
+    import numpy as np
+
+    from faster_whisper_tpu.transcribe import TranscriptionOptions
+
+    pipe = BatchedInferencePipeline(model)
+    pipe._batch_bucket = 8  # what _batched_segments_generator leaves set
+    fe = model.feature_extractor
+    feats = np.zeros((12, fe.feature_size, fe.nb_max_frames), np.float32)
+    opts = TranscriptionOptions(**{
+        **{f: None for f in TranscriptionOptions.__dataclass_fields__},
+        "beam_size": 1, "best_of": 1, "patience": 1.0,
+        "length_penalty": 1.0, "repetition_penalty": 1.0,
+        "no_repeat_ngram_size": 0, "log_prob_threshold": None,
+        "no_speech_threshold": None, "compression_ratio_threshold": None,
+        "condition_on_previous_text": False, "prompt_reset_on_temperature": 0.5,
+        "temperatures": [0.0], "initial_prompt": None, "prefix": None,
+        "suppress_blank": True, "suppress_tokens": [-1],
+        "without_timestamps": True, "max_initial_timestamp": 0.0,
+        "word_timestamps": False, "prepend_punctuations": "",
+        "append_punctuations": "", "multilingual": False,
+        "max_new_tokens": 4, "clip_timestamps": "0",
+        "hallucination_silence_threshold": None, "hotwords": None,
+    })
+    from faster_whisper_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer(
+        model.hf_tokenizer, multilingual=True, task="transcribe", language="en"
+    )
+    encoder_output, _ = pipe._dispatch_segment_batch(feats, tok, opts)
+    assert encoder_output.shape[0] == 16, encoder_output.shape
+
+
 def test_stereo_diarization_structure(model, stereo_wav_path):
     """Mirror of the reference's stereo test at the structural level
     (tests/test_transcribe.py:142-157 — golden transcripts need real
